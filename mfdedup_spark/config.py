@@ -1,0 +1,63 @@
+"""Engine configuration.
+
+Signature config is part of fixture identity: dup-pair recall is measured
+"at the same shingle/signature config" (BASELINE.json `metric`). All seeds
+derive from a single named constant — the precedent is the reference's
+MD5-seeded gear matrix (/root/reference/RollHash/Gear.h:14-30), which pins
+its rolling-hash table to a reproducible constant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+#: Named master seed constant (Gear.h precedent: seed material is a fixed
+#: string run through a cryptographic hash, not a bare magic number).
+MASTER_SEED_NAME = b"MFDEDUP-SPARK-SIGNATURE-V1"
+
+
+def derive_seed(label: str) -> int:
+    """64-bit seed derived from MASTER_SEED_NAME + label via MD5.
+
+    Mirrors the reference's gear-matrix derivation
+    (/root/reference/RollHash/Gear.h:14-30: MD5 of a repeated byte, low
+    64 bits kept) so every random table in the engine is reproducible
+    from one named constant.
+    """
+    h = hashlib.md5(MASTER_SEED_NAME + b":" + label.encode()).digest()
+    return int.from_bytes(h[:8], "little")
+
+
+@dataclass(frozen=True)
+class SignatureConfig:
+    """Shingle/MinHash/SimHash/LSH parameters (FIXTURES.md §4)."""
+
+    shingle_k: int = 8          # byte-shingle width; analogue of the
+                                # ExpectSize-bounded chunk (ChunkingPipeline.h:19-20)
+    num_perms: int = 64         # MinHash permutations
+    lsh_bands: int = 8          # 8 bands ×
+    lsh_rows: int = 8           # 8 rows  = 64 components
+    simhash_bits: int = 64
+    simhash_bands: int = 4      # 4 × 16-bit blocking bands for SimHash
+    minhash_jaccard_threshold: float = 0.5
+    simhash_hamming_threshold: int = 6
+    caption_gram_k: int = 3     # word k-grams for caption blocking
+    bucket_cap: int = 256       # max members considered per LSH bucket
+                                # (skew guard; drops are logged)
+    salt_buckets: int = 16      # salt fan-out for hot-bucket aggregation
+
+    def __post_init__(self) -> None:
+        assert self.lsh_bands * self.lsh_rows == self.num_perms
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Run-level config — analogue of the reference's TOML ConfigReader
+    (/root/reference/Utility/Config.h:19-33: path templates + retention).
+    """
+
+    warehouse: str = "/tmp/mfdedup_spark_warehouse"
+    retention: int = 2          # versions kept (build/config.toml:5)
+    signature: SignatureConfig = field(default_factory=SignatureConfig)
+    arrow_batch_size: int = 2048

@@ -1,0 +1,196 @@
+"""Vectorized signature primitives shared by the Spark pandas UDFs and the
+pure-numpy oracle.
+
+This module is the engine's analogue of the reference's RollHash/ layer
+(/root/reference/RollHash/Gear.h, Rabin.h): deterministic, seeded hash
+tables + the per-record signature math. Everything here is numpy-only so
+the same code runs inside Arrow UDF batches (no per-row Python in the hot
+path) and inside the driver-side oracle, guaranteeing signature parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from mfdedup_spark.config import SignatureConfig, derive_seed
+
+U64 = np.uint64
+_SPLITMIX_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — the engine's stand-in for the reference's
+    gear rolling hash (/root/reference/RollHash/Gear.h:32-37): a cheap,
+    statistically-strong 64-bit mixer, vectorized over uint64 arrays.
+    """
+    x = x.astype(U64, copy=False) + _SPLITMIX_GAMMA
+    x = (x ^ (x >> U64(30))) * _SM_M1
+    x = (x ^ (x >> U64(27))) * _SM_M2
+    return x ^ (x >> U64(31))
+
+
+def _seed_u64(label: str) -> np.uint64:
+    return U64(derive_seed(label))
+
+
+class SignatureTables:
+    """Seeded permutation/seed tables, built once per process (analogue of
+    the gear matrix built once in Gear's ctor, Gear.h:14-30)."""
+
+    _cache: dict[SignatureConfig, "SignatureTables"] = {}
+
+    def __init__(self, cfg: SignatureConfig):
+        self.cfg = cfg
+        n = cfg.num_perms
+        idx = np.arange(n, dtype=np.uint64)
+        # multiply-shift universal hashing: odd multiplier + additive part
+        self.minhash_a = splitmix64(idx + _seed_u64("minhash-a")) | U64(1)
+        self.minhash_b = splitmix64(idx + _seed_u64("minhash-b"))
+        self.band_seeds = splitmix64(
+            np.arange(cfg.lsh_bands, dtype=np.uint64) + _seed_u64("lsh-band")
+        )
+        self.simhash_seed = _seed_u64("simhash")
+        self.shingle_seed = _seed_u64("shingle")
+
+    @classmethod
+    def get(cls, cfg: SignatureConfig) -> "SignatureTables":
+        t = cls._cache.get(cfg)
+        if t is None:
+            t = cls._cache[cfg] = cls(cfg)
+        return t
+
+
+def byte_shingles(data: bytes, k: int, seed: np.uint64) -> np.ndarray:
+    """Distinct mixed k-byte shingles of ``data`` as uint64.
+
+    The content-defined-chunking analogue (ChunkingPipeline.h:64-159):
+    position-independent content windows. A k-byte window is read as a
+    big-endian integer then mixed; duplicates are dropped (set semantics
+    for MinHash).
+    """
+    a = np.frombuffer(data, dtype=np.uint8)
+    if len(a) < k:
+        a = np.pad(a, (0, k - len(a)))
+    win = np.lib.stride_tricks.sliding_window_view(a, k).astype(U64)
+    h = np.zeros(len(win), dtype=U64)
+    for j in range(k):
+        h = (h << U64(8)) | win[:, j]
+    return np.unique(splitmix64(h ^ seed))
+
+
+def minhash_signature(shingles: np.ndarray, tables: SignatureTables) -> np.ndarray:
+    """64-perm MinHash over a shingle set → int64[num_perms].
+
+    Replaces the reference's per-chunk SHA-1 fingerprint
+    (HashingPipeline.h:40-86) as the similarity-preserving signature.
+    """
+    if len(shingles) == 0:
+        shingles = np.zeros(1, dtype=U64)
+    # (P, S) multiply-shift, wraparound uint64; min over shingle axis
+    m = (tables.minhash_a[:, None] * shingles[None, :]) + tables.minhash_b[:, None]
+    return m.min(axis=1).view(np.int64)
+
+
+def lsh_band_buckets(minhash: np.ndarray, tables: SignatureTables) -> np.ndarray:
+    """Fold each band's rows into one 64-bit bucket id → int64[bands].
+
+    The groupBy key for candidate generation (north_star: "LSH band
+    hashing driving a salted groupBy").
+    """
+    cfg = tables.cfg
+    mh = minhash.view(U64).reshape(cfg.lsh_bands, cfg.lsh_rows)
+    h = tables.band_seeds.copy()
+    for r in range(cfg.lsh_rows):
+        h = splitmix64(h ^ mh[:, r])
+    return h.view(np.int64)
+
+
+def simhash64(shingles: np.ndarray, phash: int, tables: SignatureTables) -> int:
+    """pHash-seeded 64-bit SimHash over the shingle set (north_star:
+    "pHash-seeded SimHash over decoded pixels").
+
+    Each shingle is re-mixed with a seed derived from the record's pHash,
+    then standard bit-voting produces the signature.
+    """
+    if len(shingles) == 0:
+        return 0
+    seed = splitmix64(np.array([np.uint64(phash & 0xFFFFFFFFFFFFFFFF)]) ^ tables.simhash_seed)[0]
+    h = splitmix64(shingles ^ seed)
+    bits = ((h[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    sim = np.where(votes > 0, np.uint64(1), np.uint64(0))
+    out = U64(0)
+    for i in range(64):
+        out |= U64(sim[i]) << U64(i)
+    return int(out.view(np.int64))
+
+
+def simhash_bands(simhash: int, n_bands: int = 4) -> np.ndarray:
+    """Split a 64-bit SimHash into ``n_bands`` 16-bit blocking keys
+    (pigeonhole: hamming ≤ 6 over 64 bits → at least one 16-bit band equal
+    when 4 bands and ≤3 differing bands... used as recall-boosting
+    candidate source, verified downstream)."""
+    u = np.uint64(simhash & 0xFFFFFFFFFFFFFFFF)
+    width = 64 // n_bands
+    mask = U64((1 << width) - 1)
+    return np.array(
+        [int((u >> U64(i * width)) & mask) for i in range(n_bands)], dtype=np.int64
+    )
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def gram_hash(gram: str) -> int:
+    """Deterministic 60-bit hash of a caption word-gram: first 15 hex chars
+    of md5, as int. Portable across the numpy oracle, Spark
+    (``conv(substring(md5(g),1,15),16,10)``) and DuckDB
+    (``('0x'||substr(md5(g),1,15))::bigint``)."""
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+
+def sha1_hex(data: bytes) -> str:
+    """Exact fingerprint — reference's SHA-1 path (HashingPipeline.h:70-72).
+    Hex string so it matches Spark's ``F.sha1`` and DuckDB-side oracles."""
+    return hashlib.sha1(data).hexdigest()
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: area-resize to 32×32, 2D DCT-II, keep the
+    8×8 low-frequency block (minus DC), sign-vs-median bits (FIXTURES.md §1).
+    """
+    p = _resize_area(pixels.astype(np.float64), 32, 32)
+    d = _DCT32 @ p @ _DCT32.T
+    block = d[:8, :8].flatten()[1:]  # drop DC term
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # interpret as signed int64 for Spark LongType
+    return int(np.uint64(out).view(np.int64))
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Simple area/nearest hybrid resize (no image libs in this env)."""
+    h, w = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[np.ix_(ys, xs)]
