@@ -55,8 +55,8 @@ def _cmp_at(text: str, pos: int, needle: str) -> int:
     return -1 if seg < needle else 1
 
 
-def find(text: str, sa: np.ndarray, needle: str) -> bool:
-    """Binary search the suffix array for any suffix starting with needle."""
+def find_range(text: str, sa: np.ndarray, needle: str) -> tuple[int, int]:
+    """Suffix-array range [lo, hi) of suffixes starting with needle."""
     lo, hi = 0, len(sa)
     while lo < hi:
         mid = (lo + hi) // 2
@@ -64,7 +64,21 @@ def find(text: str, sa: np.ndarray, needle: str) -> bool:
             lo = mid + 1
         else:
             hi = mid
-    return lo < len(sa) and _cmp_at(text, int(sa[lo]), needle) == 0
+    start = lo
+    hi = len(sa)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _cmp_at(text, int(sa[mid]), needle) <= 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    return start, lo
+
+
+def find(text: str, sa: np.ndarray, needle: str) -> bool:
+    """Binary search the suffix array for any suffix starting with needle."""
+    lo, hi = find_range(text, sa, needle)
+    return hi > lo
 
 
 def contains(host: str, needle: str) -> bool:
@@ -84,9 +98,29 @@ class BucketMatcher:
         self.captions = captions
         self.text = SEP + SEP.join(captions) + SEP
         self.sa = build_suffix_array(self.text)
+        # caption i occupies [starts[i], starts[i] + len(captions[i]))
+        self.starts = np.cumsum([1] + [len(c) + 1 for c in captions[:-1]]) if captions else np.array([], dtype=np.int64)
 
     def substring_hosts(self, needle: str) -> bool:
         """True iff needle occurs anywhere in the bucket text (bounded by
         separators, so matches never span two captions when the needle
         itself contains no SEP)."""
         return find(self.text, self.sa, needle)
+
+    def hosts_of(self, needle: str) -> set[int]:
+        """Indices of captions that contain ``needle`` as a substring.
+
+        One O(|needle| log L) suffix-array search, then each matching
+        suffix position maps to its caption via the start-offset table.
+        """
+        if not needle or not len(self.sa):
+            return set()
+        lo, hi = find_range(self.text, self.sa, needle)
+        out: set[int] = set()
+        for pos in self.sa[lo:hi]:
+            idx = int(np.searchsorted(self.starts, int(pos), side="right")) - 1
+            if 0 <= idx < len(self.captions):
+                # reject matches that would cross into the separator
+                if int(pos) + len(needle) <= int(self.starts[idx]) + len(self.captions[idx]):
+                    out.add(idx)
+        return out

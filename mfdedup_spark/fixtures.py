@@ -25,6 +25,28 @@ from mfdedup_spark.core import codecs
 from mfdedup_spark.core.hashes import phash64
 
 _VOCAB_SIZE = 512
+
+ARROW_SCHEMA_FIELDS = [
+    ("image_id", "string"),
+    ("bytes", "binary"),
+    ("w", "int32"),
+    ("h", "int32"),
+    ("fmt", "string"),
+    ("caption", "string"),
+    ("phash", "int64"),
+    ("version", "int32"),
+    ("seq_no", "int64"),
+]
+
+
+def write_parquet(df: pd.DataFrame, path: str) -> None:
+    """Write an images fixture with the exact input_hint schema
+    (binary bytes, int32 dims, int64 phash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([(n, getattr(pa, t)()) for n, t in ARROW_SCHEMA_FIELDS])
+    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
 _FMTS = ["raw", "png", "jpeg"]
 _DIMS = [32, 64, 128]
 

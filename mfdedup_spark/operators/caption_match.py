@@ -1,0 +1,129 @@
+"""Caption exact-substring duplicate matching (north_star: "Suffix-array
+substring matching over captions (via applyInPandas per LSH bucket)
+catches exact-substring dup captions that signature hashing misses").
+
+No reference analogue (the reference matches exact chunks only) —
+spec'd in SURVEY.md §2.6.
+
+Dataflow:
+1. Blocking — JVM-side: tokenize, build word k-grams with
+   ``transform(sequence(...))``, hash each gram with
+   ``conv(substring(md5(g),1,15),16,10)`` (identical to the oracle's
+   ``core.hashes.gram_hash`` and DuckDB's hex-cast — portable), explode →
+   (bucket, image_id). A caption that is a substring of another shares
+   *all* of its word k-grams with the host, so any shared-gram bucket is a
+   complete blocking scheme for whole-word-aligned substrings.
+2. Candidate pairs — the same salted/capped anchor-star generator as the
+   MinHash LSH path (operators/lsh.anchor_star_pairs).
+3. Verification — ``applyInPandas`` grouped by anchor: each group builds
+   one suffix array over the member captions (core.suffix_array
+   .BucketMatcher) to find members hosting the anchor caption, and one
+   suffix array over the anchor caption for the reverse direction.
+
+Scale note: gram explosion multiplies caption rows by ≤ (tokens-k+1);
+at 10^12 rows the blocking key count is bounded by sampling the m
+smallest gram hashes per caption (knob left at "all" here to match the
+oracle's exact semantics; flip ``max_grams_per_caption`` for web scale).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mfdedup_spark.config import SignatureConfig
+from mfdedup_spark.operators.lsh import anchor_star_pairs
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id_a", T.StringType()),
+        T.StructField("image_id_b", T.StringType()),
+        T.StructField("method", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def caption_gram_buckets(
+    images: DataFrame, cfg: SignatureConfig, max_grams_per_caption: int | None = None
+) -> DataFrame:
+    """images → (bucket, image_id): one row per distinct word-k-gram."""
+    k = cfg.caption_gram_k
+    toks = F.split(F.col("caption"), " ")
+    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), k)),
+    )
+    exploded = (
+        images.select("image_id", F.explode(grams).alias("gram"))
+        .select(
+            "image_id",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .distinct()
+    )
+    if max_grams_per_caption is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("image_id").orderBy("bucket")
+        exploded = (
+            exploded.withColumn("gn", F.row_number().over(w))
+            .where(F.col("gn") <= max_grams_per_caption)
+            .drop("gn")
+        )
+    return exploded
+
+
+def caption_pairs(
+    images: DataFrame, cfg: SignatureConfig
+) -> tuple[DataFrame, DataFrame]:
+    """→ (verified caption pairs, overflow bucket stats)."""
+    buckets = caption_gram_buckets(images, cfg)
+    cand, stats = anchor_star_pairs(
+        buckets, cfg, key_cols=["bucket"], id_col="image_id"
+    )
+    caps = images.select("image_id", "caption")
+    joined = (
+        cand.join(
+            caps.select(
+                F.col("image_id").alias("image_id_a"),
+                F.col("caption").alias("caption_a"),
+            ),
+            "image_id_a",
+        )
+        .join(
+            caps.select(
+                F.col("image_id").alias("image_id_b"),
+                F.col("caption").alias("caption_b"),
+            ),
+            "image_id_b",
+        )
+        # identical captions don't establish a dup by themselves (oracle rule)
+        .where(F.col("caption_a") != F.col("caption_b"))
+    )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        from mfdedup_spark.core.suffix_array import BucketMatcher, contains
+
+        out = []
+        anchor = group["image_id_a"].iloc[0]
+        cap_a = group["caption_a"].iloc[0]
+        members = group["image_id_b"].tolist()
+        caps_b = group["caption_b"].tolist()
+        # one suffix array over all member captions: which host the anchor?
+        m = BucketMatcher(caps_b)
+        hosts = m.hosts_of(cap_a)
+        for i, (mid, cb) in enumerate(zip(members, caps_b)):
+            if i in hosts or contains(cap_a, cb):
+                out.append((anchor, mid, "caption", 1.0))
+        return pd.DataFrame(out, columns=[f.name for f in PAIR_SCHEMA.fields])
+
+    return (
+        joined.groupBy("image_id_a").applyInPandas(verify, schema=PAIR_SCHEMA),
+        stats,
+    )

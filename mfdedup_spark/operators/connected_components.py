@@ -1,0 +1,68 @@
+"""Connected components over verified dup pairs — iterative DataFrame
+self-join with a checkpointed frontier (north_star wording; SURVEY §4
+hard part 2).
+
+Algorithm: hash-to-min label propagation. Every vertex starts labeled
+with itself; each round, a vertex's label becomes the min of its own and
+all neighbors' labels. Converges in O(graph diameter) rounds — and the
+graft's graphs are unions of anchor-stars (diameter ≤ 2 per bucket,
+small chains across buckets), so convergence is fast. ``localCheckpoint``
+every round truncates the lineage so plans don't grow exponentially
+(the reference analogue is AVAR's per-version iteration,
+/root/reference/ArrangementPipeline/ArrangementReadPipeline.h:55-73, which
+also re-materializes state each round instead of replaying history).
+
+Determinism (SURVEY §7 hard part (c)): cluster_id = min image_id of the
+component — a total order, independent of execution order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, vertices: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """pairs(image_id_a, image_id_b) + vertices(image_id)
+    → clusters(image_id, cluster_id). Singletons keep their own id."""
+    edges = (
+        pairs.select(
+            F.col("image_id_a").alias("src"), F.col("image_id_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("image_id_b").alias("src"), F.col("image_id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col("image_id"), F.col("image_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # propagate: each edge offers src's current label to dst
+        offered = (
+            edges.join(labels, edges.src == labels.image_id)
+            .select(F.col("dst").alias("image_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(offered)
+            .groupBy("image_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "image_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

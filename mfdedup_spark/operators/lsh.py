@@ -1,0 +1,102 @@
+"""LSH candidate generation — the salted groupBy at the heart of the graft
+(north_star: "LSH band hashing driving a salted groupBy").
+
+Replaces the reference's in-memory hash-set probe
+(/root/reference/MetadataManager/MetadataManager.h:60-77) for the
+*similarity* path. Pair generation is **anchor-star**: within each
+(space, band, bucket) the lexicographically-smallest member is the anchor
+and edges go (anchor → member). This keeps per-bucket work O(n) instead of
+the O(n²) all-pairs blowup — the SURVEY §4 hard part (a) — while preserving
+bucket connectivity for connected components.
+
+Skew handling (north_rule: "explicit skew salting on hot LSH buckets"):
+the deterministic cap "first ``cap`` ids of the bucket" is computed in two
+levels so no single task ever sorts a whole hot bucket:
+  level 1: row_number over (bucket, salt)  — salt = pmod(xxhash64(id), S),
+           bounded groups, keeps only each salt's first ``cap``
+  level 2: row_number over (bucket)        — input already ≤ S·cap rows
+           per bucket, keeps the global first ``cap``
+The union of per-salt prefixes is a superset of the bucket-global prefix,
+so the two-level result equals the oracle's ``sorted(set)[:cap]`` exactly.
+Dropped rows are counted and logged, never silently truncated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mfdedup_spark.config import SignatureConfig
+
+
+def explode_bands(signatures: DataFrame) -> DataFrame:
+    """signatures → (space, band, bucket, image_id), one row per band."""
+    mh = signatures.select(
+        F.lit("mh").alias("space"),
+        F.posexplode("mh_bands").alias("band", "bucket"),
+        "image_id",
+    )
+    sh = signatures.select(
+        F.lit("sh").alias("space"),
+        F.posexplode("sh_bands").alias("band", "bucket"),
+        "image_id",
+    )
+    return mh.unionByName(sh)
+
+
+def anchor_star_pairs(
+    exploded: DataFrame,
+    cfg: SignatureConfig,
+    key_cols: list[str] = ("space", "band", "bucket"),
+    id_col: str = "image_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Generic salted, capped anchor-star pair generator.
+
+    Returns (pairs, bucket_stats):
+    pairs(image_id_a < image_id_b) distinct;
+    bucket_stats(space, band, bucket, members, kept, dropped) for buckets
+    that overflowed the cap (the mandated drop log).
+    """
+    keys = list(key_cols)
+    cap = cfg.bucket_cap
+    salted = exploded.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(cfg.salt_buckets))
+    )
+    w1 = Window.partitionBy(*keys, "salt").orderBy(id_col)
+    lvl1 = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= cap)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(id_col)
+    ranked = lvl1.withColumn("rn", F.row_number().over(w2))
+    capped = ranked.where(F.col("rn") <= cap)
+
+    # drop log: buckets whose membership exceeded the cap
+    stats = (
+        exploded.groupBy(*keys)
+        .agg(F.count_distinct(id_col).alias("members"))
+        .where(F.col("members") > cap)
+        .withColumn("kept", F.lit(cap))
+        .withColumn("dropped", F.col("members") - cap)
+    )
+
+    anchors = capped.where(F.col("rn") == 1).select(
+        *keys, F.col(id_col).alias("image_id_a")
+    )
+    members = capped.where(F.col("rn") > 1).select(
+        *keys, F.col(id_col).alias("image_id_b")
+    )
+    pairs = (
+        members.join(anchors, on=keys)
+        .select("image_id_a", "image_id_b")
+        .distinct()
+    )
+    return pairs, stats
+
+
+def candidate_pairs(
+    signatures: DataFrame, cfg: SignatureConfig
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash-band + SimHash-band candidate pairs (distinct, a < b)."""
+    return anchor_star_pairs(explode_bands(signatures), cfg)

@@ -1,0 +1,114 @@
+"""Spark pipeline vs numpy oracle parity (the BASELINE metric:
+dup-pair recall ≥ 0.99 vs reference cluster assignments at the same
+shingle/signature config) — SURVEY.md §5 item 2."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mfdedup_spark import oracle
+from mfdedup_spark.config import SignatureConfig
+from mfdedup_spark.fixtures import generate_images, write_parquet
+from mfdedup_spark.plans.pipeline import dedup_images
+
+CFG = SignatureConfig()
+
+
+@pytest.fixture(scope="module")
+def fixture_parquet(tmp_path_factory):
+    df, truth = generate_images(n_images=200, seed=42)
+    p = tmp_path_factory.mktemp("images") / "images.parquet"
+    write_parquet(df, str(p))
+    return str(p), df, truth
+
+
+@pytest.fixture(scope="module")
+def results(spark, fixture_parquet):
+    path, pdf, truth = fixture_parquet
+    images = spark.read.parquet(path)
+    out = dedup_images(images, CFG)
+    return pdf, truth, out
+
+
+def oracle_run(pdf):
+    sigs = oracle.compute_signatures(pdf, CFG)
+    cand = oracle.candidate_pairs(sigs, CFG)
+    pairs = oracle.verify_pairs(sigs, cand, CFG)
+    cpairs = oracle.caption_pairs(pdf, CFG)
+    allp = pd.concat([pairs, cpairs], ignore_index=True)
+    clusters = oracle.connected_components(allp, pdf["image_id"].tolist())
+    return sigs, allp, clusters
+
+
+def test_signature_parity(results):
+    pdf, _, out = results
+    got = out["signatures"].toPandas().sort_values("image_id").reset_index(drop=True)
+    want = (
+        oracle.compute_signatures(pdf, CFG)
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    assert got["sha1"].tolist() == want["sha1"].tolist()
+    assert got["simhash"].tolist() == want["simhash"].tolist()
+    for g, w in zip(got["minhash"], want["minhash"]):
+        assert list(g) == list(w)
+    for g, w in zip(got["mh_bands"], want["mh_bands"]):
+        assert list(g) == list(w)
+
+
+def test_pair_parity(results):
+    """Engine pair set == oracle pair set (recall 1.0 ≥ required 0.99)."""
+    pdf, _, out = results
+    _, want_pairs, _ = oracle_run(pdf)
+    got = {
+        (a, b)
+        for a, b in zip(
+            *out["pairs"].select("image_id_a", "image_id_b").toPandas().T.values
+        )
+    }
+    want = set(zip(want_pairs["image_id_a"], want_pairs["image_id_b"]))
+    missing = want - got
+    recall = 1 - len(missing) / max(1, len(want))
+    assert recall >= 0.99, f"dup-pair recall {recall}, missing {sorted(missing)[:5]}"
+    extra = got - want
+    assert not extra, f"engine found pairs the oracle did not: {sorted(extra)[:5]}"
+
+
+def test_cluster_parity(results):
+    pdf, _, out = results
+    _, _, want = oracle_run(pdf)
+    got = dict(
+        zip(*out["clusters"].select("image_id", "cluster_id").toPandas().T.values)
+    )
+    assert got == want
+
+
+def test_planted_truth_recall(results):
+    """Secondary check: clusters recover the planted structure."""
+    pdf, truth, out = results
+    got = dict(
+        zip(*out["clusters"].select("image_id", "cluster_id").toPandas().T.values)
+    )
+    for name, pairs in (
+        ("exact", truth.exact_pairs),
+        ("near", truth.near_pairs),
+        ("caption", truth.caption_pairs),
+    ):
+        hit = sum(1 for a, b in pairs if got[a] == got[b])
+        assert hit / len(pairs) >= 0.99, f"{name} recall {hit / len(pairs)}"
+
+
+def test_metrics(results):
+    pdf, truth, out = results
+    m = out["metrics"].toPandas().iloc[0]
+    assert m["n_images"] == len(pdf)
+    assert m["n_clusters"] < m["n_images"]  # dups collapsed
+    assert m["total_len"] == sum(len(b) for b in pdf["bytes"])
+    assert m["cluster_dedup_ratio"] > 1.0
+
+
+def test_no_silent_drops_at_this_scale(results):
+    _, _, out = results
+    # fixture buckets stay under the cap → drop log must be empty
+    assert out["bucket_stats"].where("dropped > 0").count() == 0
