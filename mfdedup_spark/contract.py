@@ -1,0 +1,606 @@
+"""Driver-contract queries: each engine operator from SURVEY.md §2.6,
+expressed on the driver's TPC-H-ish testdata tables, with a DuckDB oracle
+SQL twin that computes the *same values* (portable md5/mod-P hashing,
+sequential double folds, integer outputs where possible).
+
+Layout: QUERIES maps name → (spark_callable, oracle_sql | None).
+__spark_entry__.py re-exports these as queries() / oracle_sql().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mfdedup_spark import textops
+from mfdedup_spark.textops import (
+    DOC_BANDS,
+    DOC_ROWS,
+    NUM_PERMS,
+    P,
+    PERM_A,
+    PERM_B,
+    band_bucket_sql,
+    gram_hashes_sql,
+    md5_long,
+    md5_long_sql,
+    minhash_sql,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- doc LSH SQL
+def _bands_cte() -> str:
+    """CTE producing (doc_id, band, bucket) — the SQL twin of
+    textops.doc_band_buckets."""
+    mh_exprs = ", ".join(
+        f"{minhash_sql('gh', i)} as mh{i}" for i in range(NUM_PERMS)
+    )
+    mh_names = [f"mh{i}" for i in range(NUM_PERMS)]
+    band_rows = " union all ".join(
+        f"select doc_id, {b} as band, {band_bucket_sql(mh_names, b)} as bucket from mh"
+        for b in range(DOC_BANDS)
+    )
+    return f"""
+with gh as (select doc_id, {gram_hashes_sql('text')} as gh from documents),
+mh as (select doc_id, {mh_exprs} from gh),
+bands as ({band_rows})
+"""
+
+
+# -------------------------------------------------------------- spark queries
+def q_exact_dedup_docs(spark, sf_dir):
+    return textops.doc_exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_bands_docs(spark, sf_dir):
+    return textops.doc_band_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_pairs_docs(spark, sf_dir):
+    return textops.doc_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_docs(spark, sf_dir):
+    return textops.doc_ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.2)
+
+
+def _events_classified(spark, sf_dir):
+    """NDF classification over events: fp = md5(props), version = day of
+    year, arrival order = event_id. Exact reference semantics via one
+    window + one anti-joinable prev-version set (SURVEY §2.6 T6-T8:
+    laterTable first ⇒ INTERNAL for repeats within the version, else
+    earlierTable ⇒ ADJACENT, else UNIQUE)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.dayofyear("ts").cast("long").alias("version"),
+        md5_long(F.col("props")).alias("fp"),
+    )
+    w = Window.partitionBy("version", "fp").orderBy("event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w).cast("long"))
+    prev = (
+        ev.select((F.col("version") + 1).alias("version"), "fp")
+        .distinct()
+        .withColumn("in_prev", F.lit(1))
+    )
+    return ranked.join(prev, ["version", "fp"], "left").select(
+        "event_id",
+        "version",
+        "fp",
+        "value",
+        F.when(F.col("rn") > 1, F.lit("INTERNAL"))
+        .when(F.col("in_prev").isNotNull(), F.lit("ADJACENT"))
+        .otherwise(F.lit("UNIQUE"))
+        .alias("result"),
+    )
+
+
+def q_ndf_classification_events(spark, sf_dir):
+    return _events_classified(spark, sf_dir).select("event_id", "version", "result")
+
+
+def q_dedup_metrics_events(spark, sf_dir):
+    cl = _events_classified(spark, sf_dir)
+    return cl.groupBy("version").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("result") == "UNIQUE", 1).otherwise(0)).alias("n_unique"),
+        F.sum(F.when(F.col("result") == "INTERNAL", 1).otherwise(0)).alias(
+            "n_internal"
+        ),
+        F.sum(F.when(F.col("result") == "ADJACENT", 1).otherwise(0)).alias(
+            "n_adjacent"
+        ),
+        F.round(F.sum("value"), 3).alias("total_value"),
+        F.round(
+            F.sum(F.when(F.col("result") == "UNIQUE", F.col("value")).otherwise(0.0)),
+            3,
+        ).alias("unique_value"),
+    )
+
+
+def q_category_assignment_events(spark, sf_dir):
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.dayofyear("ts").cast("long").alias("version"), md5_long(F.col("props")).alias("fp"))
+        .distinct()
+    )
+    first = ev.groupBy("fp").agg(F.min("version").alias("first_version"))
+    return ev.join(first, "fp").select(
+        "fp",
+        "version",
+        "first_version",
+        (
+            F.col("version") * (F.col("version") - 1) / 2 + F.col("first_version")
+        ).cast("long").alias("category_id"),
+    )
+
+
+def q_avar_split_events(spark, sf_dir):
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.dayofyear("ts").cast("long").alias("version"), md5_long(F.col("props")).alias("fp"))
+        .distinct()
+    )
+    vmax = ev.agg(F.max("version").alias("m"))
+    prev = ev.join(vmax, ev.version == vmax.m - 1, "left_semi").select("fp")
+    curr = ev.join(vmax, ev.version == vmax.m, "left_semi").select("fp")
+    active = prev.join(curr, "fp", "left_semi").withColumn("state", F.lit("active"))
+    archived = prev.join(curr, "fp", "left_anti").withColumn(
+        "state", F.lit("archived")
+    )
+    return active.unionByName(archived)
+
+
+def q_volume_offsets_events(spark, sf_dir):
+    cat = q_category_assignment_events(spark, sf_dir)
+    return cat.groupBy("version", "category_id").agg(
+        F.count("*").alias("n_chunks")
+    )
+
+
+def q_topk_hot_fps_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(md5_long(F.col("props")).alias("fp"))
+    return (
+        ev.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "fp")
+        .limit(10)
+    )
+
+
+def q_restore_prefix_sum(spark, sf_dir):
+    """Recipe-offset prefix sum (RestoreParserPipeline.h:52-57 analogue):
+    recipes need a *unique* seq key, so chunk lengths are first aggregated
+    per (version, seq_no) ≈ (orderkey, linenumber), then window-prefix-
+    summed — ties in the synthetic data would otherwise make the running
+    sum engine-dependent."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.sum("q").over(w), F.lit(0.0)).cast("long").alias("offset"),
+    )
+
+
+def q_restore_join_chunks(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name"
+    )
+
+
+def q_semi_anti_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rich = _t(spark, sf_dir, "customer").where("c_acctbal > 5000").select("c_custkey")
+    matched = orders.join(
+        rich, orders.o_custkey == rich.c_custkey, "left_semi"
+    ).withColumn("state", F.lit("MATCHED"))
+    new = orders.join(rich, orders.o_custkey == rich.c_custkey, "left_anti").withColumn(
+        "state", F.lit("NEW")
+    )
+    return matched.unionByName(new).select("o_orderkey", "state")
+
+
+def q_token_stats_docs(spark, sf_dir):
+    return textops.doc_token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_re_tokens").cast("long").alias("n_re_tokens"),
+        F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
+    )
+
+
+def q_quality_scores_docs(spark, sf_dir):
+    q = textops.doc_quality_scores(_t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        F.col("n_chars_q").cast("long").alias("n_chars_q"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len_x100",
+        "stopword_hits",
+        F.col("n_digits").cast("long").alias("n_digits"),
+    )
+
+
+def q_lang_id_docs(spark, sf_dir):
+    return textops.doc_lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    return textops.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (norm(F.col("qe")) * norm(F.col("embedding"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def q_embedding_norm_hist(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        emb.select(F.floor(sumsq).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+def q_distinct_union_sort(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(F.col("source").alias("tag"))
+    evs = _t(spark, sf_dir, "events").select(F.col("event_type").alias("tag"))
+    return docs.unionByName(evs).distinct().orderBy("tag")
+
+
+# ----------------------------------------------------------------- oracle SQL
+_NDF_SQL_BASE = """
+with ev as (
+  select event_id, value, dayofyear(ts) as version,
+         {fp} as fp
+  from events
+),
+ranked as (
+  select event_id, version, fp, value,
+         row_number() over (partition by version, fp order by event_id) as rn
+  from ev
+),
+prev as (select distinct version + 1 as version, fp from ev)
+select ranked.event_id, ranked.version, ranked.fp, ranked.value,
+       case when ranked.rn > 1 then 'INTERNAL'
+            when prev.fp is not null then 'ADJACENT'
+            else 'UNIQUE' end as result
+from ranked left join prev
+  on ranked.version = prev.version and ranked.fp = prev.fp
+""".format(fp=md5_long_sql("props"))
+
+ORACLE_SQL: dict[str, str] = {
+    "exact_dedup_docs": f"""
+        select {md5_long_sql('text')} as fp,
+               min(doc_id) as canonical_id, count(*) as n_copies
+        from documents group by 1
+    """,
+    "minhash_bands_docs": _bands_cte() + "select doc_id, band, bucket from bands",
+    "lsh_pairs_docs": _bands_cte()
+    + """
+        select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+        from bands a join bands b
+          on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+    """,
+    "ngram_jaccard_docs": _bands_cte()
+    + f""",
+        pairs as (
+          select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+          from bands a join bands b
+            on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+        ),
+        grams as (
+          select doc_id, unnest(list_distinct({gram_hashes_sql('text')})) as g
+          from documents
+        ),
+        sizes as (select doc_id, count(*) as n from grams group by 1),
+        inter as (
+          select p.doc_id_a, p.doc_id_b, count(*) as n_common
+          from pairs p
+          join grams ga on ga.doc_id = p.doc_id_a
+          join grams gb on gb.doc_id = p.doc_id_b and gb.g = ga.g
+          group by 1, 2
+        )
+        select i.doc_id_a, i.doc_id_b, i.n_common,
+               round(i.n_common / (na.n + nb.n - i.n_common), 6) as jaccard
+        from inter i
+        join sizes na on na.doc_id = i.doc_id_a
+        join sizes nb on nb.doc_id = i.doc_id_b
+        where round(i.n_common / (na.n + nb.n - i.n_common), 6) >= 0.2
+    """,
+    "ndf_classification_events": _NDF_SQL_BASE.replace(
+        "select ranked.event_id, ranked.version, ranked.fp, ranked.value,",
+        "select ranked.event_id, ranked.version,",
+        1,
+    ),
+    "dedup_metrics_events": f"""
+        with cl as ({_NDF_SQL_BASE})
+        select version,
+               count(*) as n_chunks,
+               cast(sum(case when result = 'UNIQUE' then 1 else 0 end) as bigint) as n_unique,
+               cast(sum(case when result = 'INTERNAL' then 1 else 0 end) as bigint) as n_internal,
+               cast(sum(case when result = 'ADJACENT' then 1 else 0 end) as bigint) as n_adjacent,
+               round(sum(value), 3) as total_value,
+               round(sum(case when result = 'UNIQUE' then value else 0 end), 3)
+                 as unique_value
+        from cl group by version
+    """,
+    "category_assignment_events": f"""
+        with ev as (
+          select distinct dayofyear(ts) as version, {md5_long_sql('props')} as fp
+          from events
+        ),
+        first as (select fp, min(version) as first_version from ev group by 1)
+        select ev.fp, ev.version, first.first_version,
+               cast(ev.version * (ev.version - 1) / 2 + first.first_version as bigint)
+                 as category_id
+        from ev join first on ev.fp = first.fp
+    """,
+    "avar_split_events": f"""
+        with ev as (
+          select distinct dayofyear(ts) as version, {md5_long_sql('props')} as fp
+          from events
+        ),
+        vmax as (select max(version) as m from ev),
+        prev as (select fp from ev, vmax where version = m - 1),
+        curr as (select fp from ev, vmax where version = m)
+        select fp, 'active' as state from prev where fp in (select fp from curr)
+        union all
+        select fp, 'archived' as state from prev where fp not in (select fp from curr)
+    """,
+    "volume_offsets_events": f"""
+        with ev as (
+          select distinct dayofyear(ts) as version, {md5_long_sql('props')} as fp
+          from events
+        ),
+        first as (select fp, min(version) as first_version from ev group by 1)
+        select ev.version,
+               cast(ev.version * (ev.version - 1) / 2 + first.first_version as bigint)
+                 as category_id,
+               count(*) as n_chunks
+        from ev join first on ev.fp = first.fp
+        group by 1, 2
+    """,
+    "topk_hot_fps_events": f"""
+        select {md5_long_sql('props')} as fp, count(*) as n
+        from events group by 1 order by n desc, fp limit 10
+    """,
+    "restore_prefix_sum": """
+        with agg as (
+          select l_orderkey, l_linenumber, sum(l_quantity) as q
+          from lineitem group by 1, 2
+        )
+        select l_orderkey, l_linenumber,
+               cast(coalesce(sum(q) over (
+                 partition by l_orderkey order by l_linenumber
+                 rows between unbounded preceding and 1 preceding), 0) as bigint)
+                 as "offset"
+        from agg
+    """,
+    "restore_join_chunks": """
+        select l_orderkey, l_linenumber, p_name
+        from lineitem join part on l_partkey = p_partkey
+    """,
+    "semi_anti_orders": """
+        select o_orderkey,
+               case when exists (select 1 from customer
+                                 where c_custkey = o_custkey and c_acctbal > 5000)
+                    then 'MATCHED' else 'NEW' end as state
+        from orders
+    """,
+    "token_stats_docs": f"""
+        select doc_id,
+               len(string_split(text, ' ')) as n_ws_tokens,
+               len(regexp_extract_all(text, '{textops.TOKEN_REGEX}')) as n_re_tokens,
+               length(text) as n_chars_computed
+        from documents
+    """,
+    "quality_scores_docs": """
+        select doc_id,
+               length(text) as n_chars_q,
+               len(string_split(text, ' ')) as n_tokens,
+               cast(floor(100 * length(replace(text, ' ', '')) / len(string_split(text, ' ')))
+                    as bigint) as mean_token_len_x100,
+               cast(floor((length(text) - length(replace(text, ' the ', ''))) / 5) as bigint)
+             + cast(floor((length(text) - length(replace(text, ' and ', ''))) / 5) as bigint)
+             + cast(floor((length(text) - length(replace(text, ' de ', ''))) / 4) as bigint)
+             + cast(floor((length(text) - length(replace(text, ' la ', ''))) / 4) as bigint)
+                 as stopword_hits,
+               len(regexp_extract_all(text, '[0-9]')) as n_digits
+        from documents
+    """,
+    "fingerprint_docs": f"""
+        select doc_id,
+               list_reduce(
+                 list_prepend(cast(0 as bigint), {gram_hashes_sql('text')}),
+                 (acc, h) -> (acc * 31 + h) % {P}) as fingerprint
+        from documents
+    """,
+    "ann_cosine_topk": """
+        with q as (select vec_id as query_id, embedding as qe
+                   from embeddings where vec_id < 10),
+        scored as (
+          select q.query_id, e.vec_id as neighbor_id,
+            round(
+              list_reduce(list_prepend(cast(0 as double),
+                list_transform(range(1, 65),
+                  i -> cast(q.qe[i] as double) * cast(e.embedding[i] as double))),
+                (a, b) -> a + b)
+              / (sqrt(list_reduce(list_prepend(cast(0 as double),
+                   list_transform(range(1, 65),
+                     i -> cast(q.qe[i] as double) * cast(q.qe[i] as double))),
+                   (a, b) -> a + b))
+                 * sqrt(list_reduce(list_prepend(cast(0 as double),
+                     list_transform(range(1, 65),
+                       i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))),
+                     (a, b) -> a + b))),
+              6) as cosine
+          from q join embeddings e on e.vec_id != q.query_id
+        )
+        select query_id, neighbor_id, rank, cosine from (
+          select query_id, neighbor_id, cosine,
+                 row_number() over (partition by query_id
+                                    order by cosine desc, neighbor_id) as rank
+          from scored
+        ) where rank <= 5
+    """,
+    "embedding_norm_hist": """
+        select cast(floor(list_reduce(list_prepend(cast(0 as double),
+                 list_transform(range(1, 65),
+                   i -> cast(embedding[i] as double) * cast(embedding[i] as double))),
+                 (a, b) -> a + b)) as bigint) as bucket,
+               count(*) as n
+        from embeddings group by 1
+    """,
+    "events_hourly": """
+        select cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+               event_type,
+               count(*) as n,
+               round(sum(value), 3) as sum_value
+        from events group by 1, 2
+    """,
+    "distinct_union_sort": """
+        select distinct source as tag from documents
+        union
+        select distinct event_type as tag from events
+        order by tag
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "minhash_bands_docs": q_minhash_bands_docs,
+    "lsh_pairs_docs": q_lsh_pairs_docs,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "ndf_classification_events": q_ndf_classification_events,
+    "dedup_metrics_events": q_dedup_metrics_events,
+    "category_assignment_events": q_category_assignment_events,
+    "avar_split_events": q_avar_split_events,
+    "volume_offsets_events": q_volume_offsets_events,
+    "topk_hot_fps_events": q_topk_hot_fps_events,
+    "restore_prefix_sum": q_restore_prefix_sum,
+    "restore_join_chunks": q_restore_join_chunks,
+    "semi_anti_orders": q_semi_anti_orders,
+    "token_stats_docs": q_token_stats_docs,
+    "quality_scores_docs": q_quality_scores_docs,
+    "lang_id_docs": q_lang_id_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_norm_hist": q_embedding_norm_hist,
+    "events_hourly": q_events_hourly,
+    "distinct_union_sort": q_distinct_union_sort,
+}
+
+
+def lang_id_sql() -> str:
+    """Generated SQL twin of textops.doc_lang_id (argmax with alphabetical
+    tie-break over marker-word occurrence scores)."""
+    def occ(w: str) -> str:
+        padded = "concat(' ', text, ' ')"
+        return (
+            f"cast((length({padded}) - length(replace({padded}, ' {w} ', '')))"
+            f" / {len(w) + 2} as bigint)"
+        )
+
+    scores = {
+        lang: " + ".join(occ(w) for w in textops.LANG_MARKERS[lang])
+        for lang in sorted(textops.LANG_MARKERS)
+    }
+    score_cols = ", ".join(f"{e} as score_{lang}" for lang, e in scores.items())
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in sorted(scores)) + ")"
+    guess = "coalesce(" + ", ".join(
+        f"case when score_{lang} = {best} then '{lang}' end"
+        for lang in sorted(scores)
+    ) + ")"
+    return f"""
+        with scored as (select doc_id, {score_cols} from documents)
+        select doc_id, {guess} as lang_guess from scored
+    """
+
+
+ORACLE_SQL["lang_id_docs"] = lang_id_sql()
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: text near-dup clustering over documents — the same
+    pipeline shape as the image engine (signatures → LSH → pairs →
+    connected components → clusters)."""
+    from mfdedup_spark.operators.connected_components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = textops.doc_lsh_pairs(docs).select(
+        F.col("doc_id_a").cast("string").alias("image_id_a"),
+        F.col("doc_id_b").cast("string").alias("image_id_b"),
+    )
+    vertices = docs.select(F.col("doc_id").cast("string").alias("image_id"))
+    cl = connected_components(pairs, vertices)
+    return cl.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

@@ -1,0 +1,278 @@
+"""Text/document operators — the training-data-pipeline extras over the
+driver's ``documents`` table, built to be *portably deterministic*: every
+hash here is modular arithmetic over md5 prefixes, so the exact same
+values are computable in Spark (JVM, whole-stage codegen), in DuckDB (the
+driver's oracle), and in numpy. That is what lets these register in
+``__spark_entry__.py`` with full value-hash oracles instead of weaker
+rows-only checks.
+
+Operators:
+- word-k-gram shingling + 64-perm MinHash + LSH band buckets (the text
+  twin of the image signature stage, functions/signatures.py)
+- exact dedup by text hash (reference analogue: exact-fp dedup,
+  /root/reference/MetadataManager/MetadataManager.h:60-77)
+- LSH pair generation + n-gram Jaccard verification
+- language-ID (stopword-marker heuristic), quality scoring, token
+  counting (BPE-ish regex), rolling-hash document fingerprinting
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mfdedup_spark.config import derive_seed
+
+#: Mersenne prime 2^31-1 — all modular hashing stays within int64 under
+#: multiplication by coefficients < P, so Spark and DuckDB (which errors on
+#: int64 overflow rather than wrapping) compute identical values.
+P = 2147483647
+NUM_PERMS = 64
+GRAM_K = 3
+DOC_BANDS = 8
+DOC_ROWS = 8
+
+#: permutation coefficients, derived from the named master seed
+#: (config.derive_seed — the Gear.h:14-30 precedent)
+PERM_A = [derive_seed(f"doc-minhash-a-{i}") % (P - 1) + 1 for i in range(NUM_PERMS)]
+PERM_B = [derive_seed(f"doc-minhash-b-{i}") % P for i in range(NUM_PERMS)]
+
+
+# ------------------------------------------------------------------ helpers
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — identical to
+    DuckDB's ``('0x'||substr(md5(x),1,15))::bigint``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB twin of md5_long."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::bigint"
+
+
+def word_grams(text: Column, k: int = GRAM_K) -> Column:
+    """Array of word k-grams (space-joined); one whole-text gram when the
+    text has fewer than k tokens. Matches the DuckDB expression in
+    word_grams_sql."""
+    toks = F.split(text, " ")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def word_grams_sql(expr: str, k: int = GRAM_K) -> str:
+    """DuckDB twin: 1-based inclusive slicing t[i : i+k-1] == Spark
+    slice(t, i, k)."""
+    return (
+        f"list_transform(range(1, greatest(len(string_split({expr}, ' ')) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string((string_split({expr}, ' '))[i : i + {k - 1}], ' '))"
+    )
+
+
+def gram_hashes(text: Column, k: int = GRAM_K) -> Column:
+    """Array of gram hashes in [0, P)."""
+    return F.transform(word_grams(text, k), lambda g: md5_long(g) % F.lit(P))
+
+
+def gram_hashes_sql(expr: str, k: int = GRAM_K) -> str:
+    return (
+        f"list_transform({word_grams_sql(expr, k)}, "
+        f"g -> {md5_long_sql('g')} % {P})"
+    )
+
+
+def minhash_cols(gh: Column) -> list[Column]:
+    """64 MinHash components as individual long columns mh0..mh63."""
+    return [
+        F.array_min(
+            F.transform(gh, lambda h: (F.lit(PERM_A[i]) * h + F.lit(PERM_B[i])) % F.lit(P))
+        ).alias(f"mh{i}")
+        for i in range(NUM_PERMS)
+    ]
+
+
+def minhash_sql(gh_expr: str, i: int) -> str:
+    return (
+        f"list_min(list_transform({gh_expr}, "
+        f"h -> ({PERM_A[i]} * h + {PERM_B[i]}) % {P}))"
+    )
+
+
+def band_bucket(mh: list[Column], band: int, rows: int = DOC_ROWS) -> Column:
+    """Fold one band's rows into a 60-bit bucket id via md5 of the joined
+    component string (portable to DuckDB verbatim)."""
+    joined = F.concat_ws("-", *mh[band * rows : (band + 1) * rows])
+    return md5_long(joined)
+
+
+def band_bucket_sql(mh_exprs: list[str], band: int, rows: int = DOC_ROWS) -> str:
+    joined = ", ".join(mh_exprs[band * rows : (band + 1) * rows])
+    return md5_long_sql(f"concat_ws('-', {joined})")
+
+
+# ------------------------------------------------------------- operators
+def doc_signatures(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, mh0..mh63) — JVM-side MinHash, no UDFs."""
+    gh = gram_hashes(F.col("text")).alias("gh")
+    return docs.select("doc_id", gh).select("doc_id", *minhash_cols(F.col("gh")))
+
+
+def doc_band_buckets(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, band, bucket) exploded LSH band buckets."""
+    sig = doc_signatures(docs)
+    mh = [F.col(f"mh{i}") for i in range(NUM_PERMS)]
+    bands = F.array(
+        *[band_bucket(mh, b) for b in range(DOC_BANDS)]
+    )
+    return sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
+
+
+def doc_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket."""
+    bb = doc_band_buckets(docs)
+    a = bb.select("band", "bucket", F.col("doc_id").alias("doc_id_a"))
+    b = bb.select("band", "bucket", F.col("doc_id").alias("doc_id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def doc_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups by text hash: (fp, canonical_id, n_copies)."""
+    return (
+        docs.select(md5_long(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def doc_ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs: the verification tier
+    of near-dup text dedup. Output (doc_id_a, doc_id_b, n_common, jaccard)."""
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(gram_hashes(F.col("text")))).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = doc_lsh_pairs(docs)
+    ga = grams.select(F.col("doc_id").alias("doc_id_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
+    inter = (
+        pairs.join(ga, "doc_id_a")
+        .join(gb, ["doc_id_b", "g"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "n_common", "jaccard")
+    )
+
+
+# ----------------------------------------------------------- text analysis
+#: stopword markers per language for the n-gram/stopword language-ID
+#: heuristic; counts are exact substring occurrences so both engines agree
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "que", "de"],
+    "zh": ["de", "shi", "le"],
+}
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def doc_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0))
+        ).alias("n_re_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def doc_quality_scores(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length, mean word length ×100 (int), stopword hits,
+    digit count — integer outputs so the oracle hash is exact."""
+    toks = F.split(F.col("text"), " ")
+    stop_hits = sum(
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(f" {w} "), F.lit(""))))
+            / F.lit(len(w) + 2)
+        ).cast("long")
+        for w in ("the", "and", "de", "la")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_q"),
+        F.size(toks).alias("n_tokens"),
+        F.floor(
+            F.lit(100) * F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(toks)
+        ).cast("long").alias("mean_token_len_x100"),
+        stop_hits.alias("stopword_hits"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))).alias(
+            "n_digits"
+        ),
+    )
+
+
+def doc_lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: score = Σ occurrences of each marker
+    (space-padded), guess = argmax with deterministic tie-break by
+    language code."""
+    def score(lang: str) -> Column:
+        padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+        s = None
+        for w in LANG_MARKERS[lang]:
+            occ = (
+                (F.length(padded) - F.length(F.replace(padded, F.lit(f" {w} "), F.lit(""))))
+                / F.lit(len(w) + 2)
+            ).cast("long")
+            s = occ if s is None else s + occ
+        return s
+
+    scored = docs.select(
+        "doc_id",
+        *[score(lang).alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    guess = F.coalesce(
+        *[
+            F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    return scored.select("doc_id", guess.alias("lang_guess"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial fingerprint over gram hashes:
+    fold(h_i): acc = (acc*31 + h_i) % P, seeded with 0 (list_prepend twin
+    in DuckDB)."""
+    gh = gram_hashes(F.col("text"))
+    fp = F.aggregate(
+        gh, F.lit(0).cast("long"), lambda acc, h: (acc * F.lit(31) + h) % F.lit(P)
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
