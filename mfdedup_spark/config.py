@@ -35,6 +35,16 @@ class SignatureConfig:
 
     shingle_k: int = 8          # byte-shingle width; analogue of the
                                 # ExpectSize-bounded chunk (ChunkingPipeline.h:19-20)
+    shingle_sample_bits: int = 4   # keep shingles whose mixed hash falls in the
+                                   # lowest 2^-bits fraction (content-defined
+                                   # sampling — the CDC mask idea, FastCDC's
+                                   # `(fp & mask)==0` cut rule, ChunkingPipeline.h:
+                                   # 70-79, applied to sketch selection). Hash-
+                                   # consistent: similar inputs keep the same
+                                   # sampled shingles, preserving Jaccard.
+    shingle_sample_min: int = 256  # bottom-k floor so small images keep a
+                                   # usable sketch (bottom-k sketches are also
+                                   # hash-consistent)
     num_perms: int = 64         # MinHash permutations
     lsh_bands: int = 8          # 8 bands ×
     lsh_rows: int = 8           # 8 rows  = 64 components

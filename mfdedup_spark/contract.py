@@ -31,7 +31,16 @@ from mfdedup_spark.textops import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a testdata table. Small single-file tables arrive as one input
+    split, which would serialize CPU-heavy expression stages (64-perm
+    MinHash etc.) onto one core — rebalance those up to the cluster's
+    parallelism. At real scale inputs have ≥ cores splits and this is a
+    no-op (no extra shuffle)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
 
 
 # ---------------------------------------------------------------- doc LSH SQL

@@ -64,13 +64,28 @@ class SignatureTables:
         return t
 
 
-def byte_shingles(data: bytes, k: int, seed: np.uint64) -> np.ndarray:
-    """Distinct mixed k-byte shingles of ``data`` as uint64.
+def byte_shingles(
+    data: bytes,
+    k: int,
+    seed: np.uint64,
+    sample_bits: int = 4,
+    sample_min: int = 256,
+) -> np.ndarray:
+    """Distinct mixed k-byte shingles of ``data`` as uint64, with
+    content-defined sampling.
 
     The content-defined-chunking analogue (ChunkingPipeline.h:64-159):
-    position-independent content windows. A k-byte window is read as a
-    big-endian integer then mixed; duplicates are dropped (set semantics
-    for MinHash).
+    position-independent content windows, a k-byte window read as a
+    big-endian integer then mixed; duplicates dropped (set semantics).
+
+    Sampling: keep shingles whose mixed hash < 2^64 / 2^sample_bits —
+    the FastCDC mask rule (`fp & mask == 0`, ChunkingPipeline.h:70-79)
+    applied to sketch selection. Because selection depends only on the
+    shingle's own hash, similar inputs keep the *same* sampled shingles,
+    so Jaccard over samples tracks Jaccard over full sets while MinHash/
+    SimHash cost drops ~2^sample_bits×. A bottom-k floor (``sample_min``,
+    itself a hash-consistent bottom-k sketch) keeps small inputs usable.
+    Since np.unique sorts, both rules are prefixes of the sorted array.
     """
     a = np.frombuffer(data, dtype=np.uint8)
     if len(a) < k:
@@ -79,7 +94,12 @@ def byte_shingles(data: bytes, k: int, seed: np.uint64) -> np.ndarray:
     h = np.zeros(len(win), dtype=U64)
     for j in range(k):
         h = (h << U64(8)) | win[:, j]
-    return np.unique(splitmix64(h ^ seed))
+    u = np.unique(splitmix64(h ^ seed))
+    if sample_bits <= 0:
+        return u
+    threshold = U64(1) << U64(64 - sample_bits)
+    keep = max(int(np.searchsorted(u, threshold)), min(sample_min, len(u)))
+    return u[:keep]
 
 
 def minhash_signature(shingles: np.ndarray, tables: SignatureTables) -> np.ndarray:
@@ -120,12 +140,14 @@ def simhash64(shingles: np.ndarray, phash: int, tables: SignatureTables) -> int:
         return 0
     seed = splitmix64(np.array([np.uint64(phash & 0xFFFFFFFFFFFFFFFF)]) ^ tables.simhash_seed)[0]
     h = splitmix64(shingles ^ seed)
-    bits = ((h[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    sim = np.where(votes > 0, np.uint64(1), np.uint64(0))
-    out = U64(0)
-    for i in range(64):
-        out |= U64(sim[i]) << U64(i)
+    # bit j of h == unpackbits(little-endian bytes, bitorder little)[:, j];
+    # vote>0 ⇔ 2·ones > n — same result as the ±1 voting, 8× less traffic
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    ones = bits.sum(axis=0, dtype=np.int64)
+    sim = (2 * ones > len(h)).astype(np.uint64)
+    out = (sim << np.arange(64, dtype=U64)).sum(dtype=U64)
     return int(out.view(np.int64))
 
 

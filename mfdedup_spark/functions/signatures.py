@@ -69,7 +69,13 @@ def compute_signatures(images: DataFrame, cfg: SignatureConfig) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 pixels = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
-                sh = byte_shingles(pixels.tobytes(), cfg.shingle_k, t.shingle_seed)
+                sh = byte_shingles(
+                    pixels.tobytes(),
+                    cfg.shingle_k,
+                    t.shingle_seed,
+                    cfg.shingle_sample_bits,
+                    cfg.shingle_sample_min,
+                )
                 mh = minhash_signature(sh, t)
                 sim = simhash64(sh, int(r.phash), t)
                 out.append(

@@ -43,6 +43,17 @@ def connected_components(
         F.col("image_id"), F.col("image_id").alias("cluster_id")
     ).localCheckpoint(eager=True)
 
+    def fingerprint(df) -> tuple:
+        """Order-insensitive label-set fingerprint — one action per
+        iteration that both materializes the (lazy) checkpoint and tests
+        convergence, instead of a checkpoint job + a diff-join job."""
+        row = df.agg(
+            F.expr("bit_xor(xxhash64(image_id, cluster_id))").alias("x"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return (row["x"], row["n"])
+
+    prev_fp = fingerprint(labels)
     for _ in range(max_iter):
         # propagate: each edge offers src's current label to dst
         offered = (
@@ -53,16 +64,11 @@ def connected_components(
             labels.unionByName(offered)
             .groupBy("image_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "image_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        fp = fingerprint(new_labels)
         labels = new_labels
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     return labels

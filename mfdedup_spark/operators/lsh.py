@@ -70,7 +70,9 @@ def anchor_star_pairs(
     )
     w2 = Window.partitionBy(*keys).orderBy(id_col)
     ranked = lvl1.withColumn("rn", F.row_number().over(w2))
-    capped = ranked.where(F.col("rn") <= cap)
+    # branch point: anchors and members both read `capped` — persist so the
+    # window chain isn't recomputed once per branch
+    capped = ranked.where(F.col("rn") <= cap).persist()
 
     # drop log: buckets whose membership exceeded the cap
     stats = (

@@ -48,7 +48,13 @@ def compute_signatures(images: pd.DataFrame, cfg: SignatureConfig) -> pd.DataFra
     out = []
     for r in images.itertuples(index=False):
         pixels = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
-        sh = byte_shingles(pixels.tobytes(), cfg.shingle_k, t.shingle_seed)
+        sh = byte_shingles(
+            pixels.tobytes(),
+            cfg.shingle_k,
+            t.shingle_seed,
+            cfg.shingle_sample_bits,
+            cfg.shingle_sample_min,
+        )
         mh = minhash_signature(sh, t)
         out.append(
             {
