@@ -1,0 +1,246 @@
+"""Versioned NDF ingest + AVAR arrangement — the reference's
+``--task=write`` path (/root/reference/main.cpp:115-205) as one Spark job
+per backup version. SURVEY.md §3.1 maps each pipeline thread to the
+corresponding stage here.
+
+Idempotency/resume: every output is a deterministic partition overwrite
+keyed by version/category; the manifest swap is the last step (the global
+commit point). A run killed mid-way re-runs the same version and rewrites
+identical partitions (north_star: checkpoint-resumable incremental runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mfdedup_spark.config import EngineConfig
+from mfdedup_spark.functions.signatures import compute_signatures
+from mfdedup_spark.operators.classification import classify, version_metrics
+from mfdedup_spark.store import DedupStore
+
+
+def category_serial(live_version_col, first_version_col):
+    """Category (x=live, y=first) serial x(x-1)/2+y
+    (/root/reference/README.md:51-57)."""
+    return (
+        (live_version_col * (live_version_col - 1) / 2 + first_version_col)
+        .cast("long")
+    )
+
+
+def ingest_version(
+    store: DedupStore,
+    images: DataFrame,
+    cfg: EngineConfig,
+    apply_arrangement: bool = True,
+) -> dict:
+    """Ingest one backup version (images must carry version + seq_no with a
+    single version value). Returns summary dict."""
+    spark = store.spark
+    v = images.select(F.max("version")).first()[0]
+    manifest = store.read_manifest()
+    if v <= manifest["total_version"]:
+        return {"version": v, "skipped": True}
+    assert v == manifest["total_version"] + 1, (
+        f"versions must be ingested in order: got {v}, have {manifest['total_version']}"
+    )
+
+    # THREAD 1-3 analogue (read/chunk/hash): one narrow Arrow UDF stage
+    sig = compute_signatures(images, cfg.signature).persist()
+
+    # THREAD 4 analogue: NDF classification via window + broadcast semi-join
+    prev_index = (
+        store.read_partitions("fp_index", "version", [v - 1]) if v > 1 else None
+    )
+    classified = classify(sig, prev_index).persist()
+
+    # THREAD 5 analogue (WriteFilePipeline.h:83-102): Unique → chunk store
+    # category v(v+1)/2; all → recipe
+    recipes = classified.select("seq_no", "image_id", "fp").withColumn(
+        "version", F.lit(v).cast("int")
+    )
+    store.write_partition(recipes, "recipes", "version", v)
+
+    unique_ids = classified.where("result = 'UNIQUE'").select("image_id", "fp")
+    payload = images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    new_chunks = (
+        unique_ids.join(payload, "image_id")
+        .withColumn("first_version", F.lit(v).cast("int"))
+        # within-version exact dups: keep one payload per fp (min image_id)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("fp").orderBy("image_id")),
+        )
+        .where("rk = 1")
+        .drop("rk")
+    )
+    new_cat = v * (v + 1) // 2  # ChunkWriterManager.h:30
+    store.write_partition(
+        new_chunks.withColumn("category", F.lit(new_cat)), "chunk_store",
+        "category", new_cat,
+    )
+
+    metrics = version_metrics(classified)
+    store.write_partition(
+        metrics.withColumn("version", F.lit(v).cast("int")), "metrics", "version", v
+    )
+    store.write_partition(classified, "classification", "version", v)
+
+    # fp index generation for this version (laterTable → persisted; the
+    # "rolling" is just which partition the next ingest reads)
+    fp_curr = sig.select(F.col("sha1").alias("fp")).distinct().withColumn(
+        "version", F.lit(v).cast("int")
+    )
+    store.write_partition(fp_curr, "fp_index", "version", v)
+
+    lineage = [
+        {
+            "partition_id": f"recipes/version={v}",
+            "version": v,
+            "rows": classified.count(),
+            "bytes": 0,
+            "state": "committed",
+        },
+        {
+            "partition_id": f"chunk_store/category={new_cat}",
+            "version": v,
+            "rows": new_chunks.count(),
+            "bytes": int(
+                new_chunks.agg(F.sum(F.length("bytes"))).first()[0] or 0
+            ),
+            "state": "committed",
+        },
+    ]
+
+    fall_behind = manifest["arrangement_fall_behind"]
+    if apply_arrangement and v > 1:
+        lineage += arrange(store, v)
+        fall_behind = 0
+    elif v > 1:
+        # --ApplyArrangement=false path (main.cpp:158-168)
+        fall_behind += 1
+
+    store.append_lineage(lineage)
+    sig.unpersist()
+    classified.unpersist()
+
+    # commit (Manifest.h:14-21) — preserve unrelated manifest keys
+    store.write_manifest(
+        {
+            **manifest,
+            "total_version": v,
+            "arrangement_fall_behind": fall_behind,
+        }
+    )
+    return {"version": v, "skipped": False, "new_category": new_cat}
+
+
+def arrange(store: DedupStore, v: int) -> list[dict]:
+    """AVAR arrangement after ingesting version v: migrate version v-1's
+    categories (SURVEY §3.1 THREADs 7-9).
+
+    For every chunk live at v-1: if its fp appears in version v it stays
+    live → moves to category (x=v, y=first_version); else it is dead at v
+    → appended to volume archive_version=v-1
+    (ArrangementFilterPipeline.h:113-130, ArrangementWritePipeline.h:40-133).
+    Works through arrangement lag: it migrates whatever categories are
+    currently live with x < v, so a deferred run catches up
+    (ArrangementFallBehind, main.cpp:165-167).
+    """
+    spark = store.spark
+    live_cats = store.list_partitions("chunk_store", "category")
+    new_cat = v * (v + 1) // 2
+    old_cats = [c for c in live_cats if c != new_cat]
+    if not old_cats:
+        return []
+    prev_chunks = store.read_partitions("chunk_store", "category", old_cats)
+    fp_curr = F.broadcast(
+        store.read_partitions("fp_index", "version", [v]).select("fp")
+    )
+
+    active = prev_chunks.join(fp_curr, "fp", "left_semi").persist()
+    archived = prev_chunks.join(fp_curr, "fp", "left_anti").persist()
+
+    lineage: list[dict] = []
+    # live → new categories keyed by first_version (partition rewrite)
+    active_cats = [
+        r["first_version"]
+        for r in active.select("first_version").distinct().collect()
+    ]
+    for y in sorted(active_cats):
+        serial = v * (v - 1) // 2 + y
+        part = active.where(F.col("first_version") == y).withColumn(
+            "category", F.lit(serial)
+        )
+        store.write_partition(part, "chunk_store", "category", serial)
+        lineage.append(
+            {
+                "partition_id": f"chunk_store/category={serial}",
+                "version": v,
+                "rows": part.count(),
+                "bytes": int(part.agg(F.sum(F.length("bytes"))).first()[0] or 0),
+                "state": "committed",
+            }
+        )
+
+    # dead at v → volume v-1; per-category byte counts are the volume
+    # offset table analogue (ArrangementWritePipeline.h:85-88 → lineage)
+    n_arch = archived.count()
+    if n_arch:
+        store.write_partition(
+            archived.withColumn("archive_version", F.lit(v - 1)),
+            "archived",
+            "archive_version",
+            v - 1,
+        )
+        offsets = (
+            archived.groupBy("first_version")
+            .agg(F.count("*").alias("rows"), F.sum(F.length("bytes")).alias("bytes"))
+            .collect()
+        )
+        for r in offsets:
+            lineage.append(
+                {
+                    "partition_id": f"archived/archive_version={v - 1}"
+                    f"/first_version={r['first_version']}",
+                    "version": v,
+                    "rows": r["rows"],
+                    "bytes": int(r["bytes"] or 0),
+                    "state": "committed",
+                }
+            )
+
+    # delete consumed categories (metadata-only;
+    # ArrangementWritePipeline.h:90-92)
+    active.unpersist()
+    archived.unpersist()
+    for c in old_cats:
+        store.drop_partition("chunk_store", "category", c)
+    return lineage
+
+
+def ingest_series(
+    store: DedupStore,
+    images_all: DataFrame,
+    cfg: EngineConfig,
+    apply_arrangement: bool = True,
+    retention: bool = True,
+) -> list[dict]:
+    """Ingest every version present in images_all, in order — the backup
+    loop of main.cpp:138-205, including retention GC when configured."""
+    from mfdedup_spark.plans.retention import apply_retention
+
+    versions = [
+        r["version"]
+        for r in images_all.select("version").distinct().orderBy("version").collect()
+    ]
+    out = []
+    for v in versions:
+        res = ingest_version(
+            store, images_all.where(F.col("version") == v), cfg, apply_arrangement
+        )
+        if retention:
+            res["retention"] = apply_retention(store, cfg.retention)
+        out.append(res)
+    return out

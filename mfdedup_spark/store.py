@@ -1,0 +1,165 @@
+"""Versioned dedup store — the engine's table layout.
+
+Re-expresses the reference's five on-disk file families (SURVEY.md §1.1)
+as partitioned parquet tables plus an atomic JSON manifest. Iceberg is the
+production target (partition evolution, snapshot commits); this container
+has no Iceberg jars, so the same semantics are emulated with partition-dir
+writes + last-writer-wins manifest swap — exactly the contingency SURVEY
+§7 hard part (d) calls out, mirroring the reference's 16-byte manifest
+overwrite (/root/reference/Utility/Manifest.h:14-21).
+
+Layout under ``warehouse/``:
+  manifest.json     {total_version, arrangement_fall_behind}
+                    (reference: Utility/Manifest.h:7-10)
+  fp_index_prev/    fps of the previous version — the NDF earlierTable
+                    (MetadataManager.h:39-52); rolled atomically each
+                    ingest (tableRolling, :115-122)
+  chunk_store/      category=N/ partitions of live unique image records;
+                    N = x(x-1)/2+y for first-written y, live-at x
+                    (README.md:51-57, ChunkWriterManager.h:30)
+  archived/         archive_version=W/ volumes of records whose last live
+                    version is W (ArrangementWritePipeline.h:62-124)
+  recipes/          version=V/ ordered (seq_no, image_id, fp) lists
+                    (Recipe files, WriteFilePipeline.h:87-100)
+  clusters/         version=V/ near-dup cluster assignments (graft output)
+  metrics/          per-version dedup counters
+                    (DeduplicationPipeline.h:40-43)
+  lineage/          per-partition manifest rows (partition_id, version,
+                    rows, bytes, state) for checkpoint-resume (north_star)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DedupStore:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.root = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------- manifest
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def read_manifest(self) -> dict:
+        """Defaults to zeros if missing (ManifestReader, Manifest.h:23-39)."""
+        if not os.path.exists(self._manifest_path):
+            return {"total_version": 0, "arrangement_fall_behind": 0}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def write_manifest(self, m: dict) -> None:
+        """Atomic overwrite — the commit point of every job (Manifest.h:14-21)."""
+        tmp = self._manifest_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({**m, "updated_at": time.time()}, f)
+        os.replace(tmp, self._manifest_path)
+
+    # --------------------------------------------------------------- tables
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.exists(p) and any(
+            not e.startswith((".", "_")) for e in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write_partition(self, df: DataFrame, table: str, key: str, value) -> None:
+        """Idempotent partition overwrite: re-running a failed job rewrites
+        the same partition deterministically (the resume story — commits
+        are per-partition, the manifest swap is the global commit)."""
+        target = os.path.join(self.path(table), f"{key}={value}")
+        df.drop(key).write.mode("overwrite").parquet(target)
+
+    def read_partitions(self, table: str, key: str, values: list) -> DataFrame | None:
+        paths = [
+            os.path.join(self.path(table), f"{key}={v}")
+            for v in values
+            if os.path.exists(os.path.join(self.path(table), f"{key}={v}"))
+        ]
+        if not paths:
+            return None
+        # basePath keeps the partition column in the schema
+        return self.spark.read.option("basePath", self.path(table)).parquet(*paths)
+
+    def read_table(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def list_partitions(self, table: str, key: str) -> list[int]:
+        p = self.path(table)
+        if not os.path.exists(p):
+            return []
+        out = []
+        for e in os.listdir(p):
+            if e.startswith(f"{key}="):
+                out.append(int(e.split("=", 1)[1]))
+        return sorted(out)
+
+    def drop_partition(self, table: str, key: str, value) -> bool:
+        """Metadata-only delete (Iceberg DROP PARTITION; reference:
+        near-zero-cost GC, Eliminator.h:15-101)."""
+        target = os.path.join(self.path(table), f"{key}={value}")
+        if os.path.exists(target):
+            shutil.rmtree(target)
+            return True
+        return False
+
+    # ------------------------------------------------------------- fp index
+    def write_fp_index(self, df: DataFrame, generation: str = "next") -> None:
+        """Stage the new index, then swap — tableRolling
+        (MetadataManager.h:115-122) as an atomic directory rename."""
+        staged = self.path(f"fp_index_{generation}_staging")
+        df.write.mode("overwrite").parquet(staged)
+
+    def roll_fp_index(self) -> None:
+        prev = self.path("fp_index_prev")
+        staged = self.path("fp_index_next_staging")
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
+        os.replace(staged, prev)
+
+    def read_fp_index(self) -> DataFrame | None:
+        if not self.exists("fp_index_prev"):
+            return None
+        return self.read("fp_index_prev")
+
+    # -------------------------------------------------------------- lineage
+    def append_lineage(self, rows: list[dict]) -> None:
+        """Append per-partition lineage rows (north_star: per-partition
+        lineage manifests enabling checkpoint-resumable runs)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path("lineage"), exist_ok=True)
+        df = pd.DataFrame(rows)
+        df["updated_at"] = time.time()
+        schema = pa.schema(
+            [
+                ("partition_id", pa.string()),
+                ("version", pa.int32()),
+                ("rows", pa.int64()),
+                ("bytes", pa.int64()),
+                ("state", pa.string()),
+                ("updated_at", pa.float64()),
+            ]
+        )
+        fname = os.path.join(self.path("lineage"), f"lineage-{time.time_ns()}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), fname)
+
+    def read_lineage(self) -> DataFrame | None:
+        if not self.exists("lineage"):
+            return None
+        return self.read("lineage")

@@ -1,0 +1,200 @@
+"""Versioned NDF ingest + AVAR arrangement + restore + retention parity
+(SURVEY.md §5 items 2-5): engine vs the numpy reference oracle across a
+3-version mutated backup series, restore-correctness per input_hint
+(decoded-pixel PSNR ≥ 40 dB + caption equality), metadata-only GC, and
+resume idempotency."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mfdedup_spark import oracle
+from mfdedup_spark.config import EngineConfig
+from mfdedup_spark.core import codecs
+from mfdedup_spark.fixtures import generate_versioned, write_parquet
+from mfdedup_spark.plans.ingest import ingest_series, ingest_version
+from mfdedup_spark.plans.restore import restore_version
+from mfdedup_spark.plans.retention import apply_retention
+from mfdedup_spark.store import DedupStore
+
+CFG = EngineConfig()
+
+
+@pytest.fixture(scope="module")
+def series(tmp_path_factory):
+    df = generate_versioned(n_images=80, versions=3, seed=42)
+    p = tmp_path_factory.mktemp("series") / "images.parquet"
+    write_parquet(df, str(p))
+    return str(p), df
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, series, tmp_path_factory):
+    path, pdf = series
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    store = DedupStore(spark, wh)
+    images = spark.read.parquet(path)
+    results = ingest_series(store, images, CFG, apply_arrangement=True, retention=False)
+    return store, pdf, results
+
+
+def test_classification_parity(ingested):
+    store, pdf, _ = ingested
+    want = oracle.classify_versions(pdf)
+    got = (
+        store.read_table("classification")
+        .select("image_id", "version", "result")
+        .toPandas()
+        .sort_values(["version", "image_id"])
+        .reset_index(drop=True)
+    )
+    w = (
+        want[["image_id", "version", "result"]]
+        .sort_values(["version", "image_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, w, check_dtype=False)
+
+
+def test_metrics_parity(ingested):
+    store, pdf, _ = ingested
+    want = oracle.metrics(pdf, oracle.classify_versions(pdf))
+    got = store.read_table("metrics").toPandas().sort_values("version")
+    for _, wrow in want.iterrows():
+        grow = got[got["version"] == wrow["version"]].iloc[0]
+        assert grow["total_len"] == wrow["total_len"]
+        assert grow["unique_len"] == wrow["unique_len"]
+        assert grow["n_unique"] == wrow["n_unique"]
+        assert grow["n_internal"] == wrow["n_internal"]
+        assert grow["n_adjacent"] == wrow["n_adjacent"]
+        assert abs(grow["dedup_ratio"] - wrow["dedup_ratio"]) < 1e-9
+
+
+def test_category_layout(ingested):
+    store, pdf, _ = ingested
+    # after arranging up to v=3, live categories are (x=3, y∈1..3):
+    # serials 3·2/2+y = 4,5,6 (README.md:51-57)
+    cats = store.list_partitions("chunk_store", "category")
+    assert cats == [4, 5, 6]
+    # archived volumes exist for versions 1 and 2
+    assert store.list_partitions("archived", "archive_version") == [1, 2]
+
+
+def test_avar_split_parity(ingested):
+    store, pdf, _ = ingested
+    cl = oracle.classify_versions(pdf)
+    active, archived = oracle.avar_split(cl, 3)
+    # engine: fps in volume 2 == oracle archived set (dead at v=3)
+    vol2 = store.read_partitions("archived", "archive_version", [2])
+    got_arch = {r["fp"] for r in vol2.select("fp").distinct().collect()}
+    # oracle archived = fps of v2 not in v3; volume 2 holds exactly those
+    assert got_arch == archived
+
+
+def test_restore_correctness(ingested):
+    """input_hint invariant: every restored row decodes within PSNR ≥ 40dB
+    of the original (exact for lossless) + caption equality."""
+    store, pdf, _ = ingested
+    for v in (1, 2, 3):
+        restored, stats = restore_version(store, v)
+        got = restored.toPandas().set_index("image_id")
+        orig = pdf[pdf["version"] == v].set_index("image_id")
+        assert stats["rows"] == len(orig), (v, stats)
+        assert stats["rows"] == stats["recipe_rows"]
+        for iid, row in orig.iterrows():
+            g = got.loc[iid]
+            assert g["caption"] == row["caption"], iid
+            opx = codecs.decode(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
+            gpx = codecs.decode(bytes(g["bytes"]), int(g["w"]), int(g["h"]), g["fmt"])
+            assert codecs.psnr(opx, gpx) >= 40.0, iid
+        # recipe order preserved + prefix-sum offsets consistent
+        seq = got.sort_values("seq_no")
+        lens = seq["bytes"].map(len).to_numpy()
+        offs = seq["offset"].to_numpy()
+        assert offs[0] == 0
+        assert np.array_equal(offs[1:], np.cumsum(lens)[:-1])
+
+
+def test_read_amplification_after_arrangement(ingested):
+    """Fully-arranged restore of the latest version reads ≈ only live
+    bytes (RestoreParserPipeline.h:86 target ≈ 1)."""
+    store, pdf, _ = ingested
+    _, stats = restore_version(store, 3)
+    assert stats["read_amplification"] <= 1.05
+
+
+def test_resume_idempotent(spark, series, tmp_path_factory):
+    """Kill-and-rerun: re-ingesting an already-committed version is a
+    skip; rerunning after a simulated partial failure (manifest rolled
+    back) rewrites identical partitions."""
+    path, pdf = series
+    wh = str(tmp_path_factory.mktemp("warehouse_resume"))
+    store = DedupStore(spark, wh)
+    images = spark.read.parquet(path)
+    v1 = images.where("version = 1")
+    r1 = ingest_version(store, v1, CFG)
+    assert not r1["skipped"]
+    r1b = ingest_version(store, v1, CFG)
+    assert r1b["skipped"]
+    before = store.read_table("recipes").toPandas().sort_values("seq_no")
+    # simulate crash-before-commit: roll manifest back, re-run
+    store.write_manifest({"total_version": 0, "arrangement_fall_behind": 0})
+    ingest_version(store, v1, CFG)
+    after = store.read_table("recipes").toPandas().sort_values("seq_no")
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+
+
+def test_retention_metadata_only(spark, series, tmp_path_factory):
+    path, pdf = series
+    wh = str(tmp_path_factory.mktemp("warehouse_gc"))
+    store = DedupStore(spark, wh)
+    images = spark.read.parquet(path)
+    ingest_series(store, images, CFG, apply_arrangement=True, retention=False)
+
+    # record chunk payload mtimes → GC must not rewrite any data file
+    data_files = {}
+    for root, _, files in os.walk(store.path("chunk_store")):
+        for f in files:
+            p = os.path.join(root, f)
+            data_files[p] = os.path.getmtime(p)
+
+    res = apply_retention(store, retention=2)
+    assert res["oldest_version"] == 2
+    assert any("recipes/version=1" in d for d in res["dropped"])
+    assert any("archived/archive_version=1" in d for d in res["dropped"])
+    for p, mt in data_files.items():
+        if os.path.exists(p):
+            assert os.path.getmtime(p) == mt  # untouched
+
+    # retained versions still restore byte-identically
+    for v in (2, 3):
+        restored, stats = restore_version(store, v)
+        assert stats["rows"] == len(pdf[pdf["version"] == v])
+    with pytest.raises(AssertionError):
+        restore_version(store, 1)
+
+
+def test_fall_behind_then_catchup(spark, series, tmp_path_factory):
+    """Skip arrangement (--ApplyArrangement=false analogue): restore still
+    correct; a later arranged ingest catches up (main.cpp:158-168)."""
+    path, pdf = series
+    wh = str(tmp_path_factory.mktemp("warehouse_fb"))
+    store = DedupStore(spark, wh)
+    images = spark.read.parquet(path)
+    ingest_version(store, images.where("version=1"), CFG, apply_arrangement=False)
+    ingest_version(store, images.where("version=2"), CFG, apply_arrangement=False)
+    assert store.read_manifest()["arrangement_fall_behind"] == 1
+    # restore v2 with zero arrangement done
+    restored, stats = restore_version(store, 2)
+    assert stats["rows"] == len(pdf[pdf["version"] == 2])
+    # catch-up: v3 ingests WITH arrangement; migrates the backlog
+    ingest_version(store, images.where("version=3"), CFG, apply_arrangement=True)
+    assert store.read_manifest()["arrangement_fall_behind"] == 0
+    for v in (1, 2, 3):
+        restored, stats = restore_version(store, v)
+        assert stats["rows"] == len(pdf[pdf["version"] == v])
