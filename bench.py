@@ -35,15 +35,22 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+FIXTURE_VERSION = "v4"  # bump when codec/fixture semantics change
+
+
 def ensure_image_fixture(n_images: int, cache_root: str = "/tmp/mfdedup_bench") -> str:
-    """Deterministic synthetic images table, generated once and cached."""
-    path = os.path.join(cache_root, f"images_{n_images}.parquet")
+    """Deterministic synthetic images table (web-like: jpeg-heavy format
+    mix, 64-256 px), generated once and cached."""
+    path = os.path.join(cache_root, f"images_{FIXTURE_VERSION}_{n_images}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(cache_root, exist_ok=True)
     from mfdedup_spark.fixtures import generate_images, write_parquet
 
-    df, _ = generate_images(n_images=n_images, seed=42)
+    df, _ = generate_images(
+        n_images=n_images, seed=42, fmt_weights=[0.1, 0.2, 0.7],
+        dims=[64, 128, 256],
+    )
     tmp = path + f".tmp{os.getpid()}"
     write_parquet(df, tmp)
     os.replace(tmp, path)

@@ -1,0 +1,104 @@
+"""spark-submit entry point (BASELINE.md scaling protocol):
+
+  spark-submit --master local[8] --py-files dist/engine.zip jobs/ingest.py \\
+      --input /tmp/mfdedup_bench/images_50000.parquet --mode dedup \\
+      --out /tmp/bench/run8
+
+Modes:
+  signatures  — signature stage + exact-fp classification only (the
+                UDF-dominated ingest hot path)
+  dedup       — full near-dup pipeline (signatures → LSH → verify →
+                caption SA → connected components)
+  ingest      — versioned NDF ingest into --warehouse (full reference
+                --task=write semantics)
+
+Prints exactly one JSON line with wall time and images/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--mode", default="dedup",
+                    choices=["signatures", "dedup", "ingest"])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--warehouse", default="/tmp/mfdedup_warehouse")
+    ap.add_argument("--fidelity", default="sampled", choices=["sampled", "full"])
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from mfdedup_spark.config import EngineConfig, SignatureConfig
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = spark.sparkContext.defaultParallelism
+
+    sig_cfg = SignatureConfig() if args.fidelity == "sampled" else SignatureConfig(
+        shingle_sample_bits=0
+    )
+
+    # warm the python worker pool (startup excluded from throughput, like
+    # any cluster warmup)
+    import pandas as pd
+
+    spark.range(0, cpus, 1, cpus).mapInPandas(
+        lambda it: (pd.DataFrame({"x": [len(b)]}) for b in it), "x long"
+    ).count()
+
+    images = spark.read.parquet(args.input)
+    if images.rdd.getNumPartitions() < cpus:
+        images = images.repartition(cpus)
+    n = images.count()  # row count outside the timed section
+
+    t0 = time.time()
+    if args.mode == "signatures":
+        from mfdedup_spark.functions.signatures import compute_signatures
+        from mfdedup_spark.operators.classification import classify
+
+        sig = compute_signatures(images, sig_cfg)
+        out = classify(sig, None)
+        out.write.format("noop").mode("overwrite").save()
+    elif args.mode == "dedup":
+        from mfdedup_spark.plans.pipeline import dedup_images
+
+        res = dedup_images(images, sig_cfg)
+        res["clusters"].write.format("noop").mode("overwrite").save()
+    else:
+        from mfdedup_spark.plans.ingest import ingest_series
+        from mfdedup_spark.store import DedupStore
+
+        store = DedupStore(spark, args.warehouse)
+        cfg = EngineConfig(warehouse=args.warehouse, signature=sig_cfg)
+        ingest_series(store, images, cfg)
+
+    dt = time.time() - t0
+    result = {
+        "mode": args.mode,
+        "fidelity": args.fidelity,
+        "cpus": cpus,
+        "rows": n,
+        "time_sec": round(dt, 2),
+        "images_per_sec": round(n / dt, 1),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+        with open(f"{args.out}/result.json", "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

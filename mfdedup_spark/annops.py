@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (training-data-pipeline
+extras): brute-force cosine top-k as the correctness baseline and a
+sign-random-projection (SRP) LSH-bucketed variant as the scale path —
+bucket first, then brute-force only within buckets, turning the O(N·Q)
+scan into O(Q·bucket_width).
+
+Everything is expressed with JVM ``aggregate``/``zip_with`` folds over
+exact-decimal hyperplane constants, so DuckDB computes bit-identical
+values for the oracle twins (same trick as textops: no float
+nondeterminism because both engines fold sequentially in array order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mfdedup_spark.config import derive_seed
+
+DIM = 64
+N_PLANES = 6  # 64 buckets; raise for bigger corpora (buckets ~ N/2^planes)
+
+
+def _plane(i: int) -> list[float]:
+    """Hyperplane i: exact-decimal components in [-1, 1] derived from the
+    named master seed (three decimal digits ⇒ exactly representable)."""
+    return [
+        ((derive_seed(f"ann-plane-{i}-{j}") % 2001) - 1000) / 1000.0
+        for j in range(DIM)
+    ]
+
+
+PLANES = [_plane(i) for i in range(N_PLANES)]
+
+
+def _dot(a: Column, consts: list[float]) -> Column:
+    arr = F.array(*[F.lit(c) for c in consts])
+    return F.aggregate(
+        F.zip_with(a, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dot_sql(expr: str, consts: list[float]) -> str:
+    items = ", ".join(
+        f"cast({expr}[{j + 1}] as double) * {consts[j]!r}" for j in range(DIM)
+    )
+    return (
+        f"list_reduce(list_prepend(cast(0 as double), [{items}]), (a, b) -> a + b)"
+    )
+
+
+def srp_bucket(emb: Column) -> Column:
+    """Sign-random-projection bucket: bit i = (emb · plane_i) >= 0."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(PLANES):
+        out = out + F.when(_dot(emb, p) >= 0, F.lit(1 << i)).otherwise(0)
+    return out
+
+
+def srp_bucket_sql(expr: str) -> str:
+    terms = " + ".join(
+        f"case when {_dot_sql(expr, p)} >= 0 then {1 << i} else 0 end"
+        for i, p in enumerate(PLANES)
+    )
+    return f"cast({terms} as bigint)"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def cosine_sql(ea: str, eb: str) -> str:
+    def dot(x, y):
+        return (
+            f"list_reduce(list_prepend(cast(0 as double), list_transform(range(1, {DIM + 1}), "
+            f"i -> cast({x}[i] as double) * cast({y}[i] as double))), (a, b) -> a + b)"
+        )
+
+    return f"({dot(ea, eb)} / (sqrt({dot(ea, ea)}) * sqrt({dot(eb, eb)})))"
+
+
+def srp_buckets(emb_df: DataFrame) -> DataFrame:
+    """embeddings → (vec_id, bucket)."""
+    return emb_df.select("vec_id", srp_bucket(F.col("embedding")).alias("bucket"))
+
+
+def ann_lsh_topk(emb_df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """LSH-bucketed ANN: for each query, rank only same-bucket candidates.
+    Output (query_id, neighbor_id, rank, cosine). At 10^12 scale the
+    bucket join replaces the full cross product; recall is tunable via
+    N_PLANES / multi-probe."""
+    with_b = emb_df.select(
+        "vec_id", "embedding", srp_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = with_b.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+    )
+    cand = F.broadcast(q).join(with_b, "bucket").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_neardup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same SRP bucket AND cosine ≥
+    threshold — the embedding tier of the dedup suite (exact / MinHash /
+    SimHash / n-gram / embedding)."""
+    with_b = emb_df.select(
+        "vec_id", "embedding", srp_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = with_b.select(
+        "bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
+    )
+    b = with_b.select(
+        "bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

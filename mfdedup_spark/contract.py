@@ -292,6 +292,40 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_simhash_docs(spark, sf_dir):
+    return textops.doc_simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_band_pairs_docs(spark, sf_dir):
+    return textops.doc_simhash_band_pairs(_t(spark, sf_dir, "documents"), 8)
+
+
+def q_caption_substring_docs(spark, sf_dir):
+    return textops.doc_caption_substring_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_srp_bucket_hist(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    return (
+        annops.srp_buckets(_t(spark, sf_dir, "embeddings"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    return annops.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), 10, 5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    return annops.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.4)
+
+
 def q_embedding_norm_hist(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sumsq = F.aggregate(
@@ -519,6 +553,21 @@ ORACLE_SQL: dict[str, str] = {
           from scored
         ) where rank <= 5
     """,
+    "simhash_band_pairs_docs": None,  # filled below (needs simhash CTE)
+    "caption_substring_docs": f"""
+        with grams as (
+          select doc_id, text, unnest(list_distinct({gram_hashes_sql('text')})) as g
+          from documents
+        ),
+        cand as (
+          select distinct a.doc_id as doc_id_a, a.text as text_a,
+                          b.doc_id as doc_id_b, b.text as text_b
+          from grams a join grams b on a.g = b.g and a.doc_id < b.doc_id
+        )
+        select doc_id_a, doc_id_b from cand
+        where text_a != text_b
+          and (contains(text_b, text_a) or contains(text_a, text_b))
+    """,
     "embedding_norm_hist": """
         select cast(floor(list_reduce(list_prepend(cast(0 as double),
                  list_transform(range(1, 65),
@@ -542,7 +591,85 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _simhash_pairs_sql() -> str:
+    sim_cte = textops.doc_simhash_sql().strip()
+    # reuse the simhash select as a CTE body
+    return f"""
+        with sim as ({sim_cte}),
+        bands as (
+          select doc_id, simhash, b.band,
+                 (simhash >> (b.band * 15)) & 32767 as bucket
+          from sim, (select unnest(range(4)) as band) b
+        )
+        select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+               bit_count(xor(a.simhash, b.simhash)) as hamming
+        from bands a join bands b
+          on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash, b.simhash)) <= 8
+    """
+
+
+def _ann_sql() -> str:
+    from mfdedup_spark import annops
+
+    bsql = annops.srp_bucket_sql("embedding")
+    cos = annops.cosine_sql("q.qe", "e.embedding")
+    return f"""
+        with wb as (select vec_id, embedding, {bsql} as bucket from embeddings),
+        q as (select vec_id as query_id, embedding as qe, bucket
+              from wb where vec_id < 10),
+        scored as (
+          select q.query_id, e.vec_id as neighbor_id,
+                 round({cos}, 6) as cosine
+          from q join wb e on e.bucket = q.bucket and e.vec_id != q.query_id
+        )
+        select query_id, neighbor_id, rank, cosine from (
+          select query_id, neighbor_id, cosine,
+                 row_number() over (partition by query_id
+                                    order by cosine desc, neighbor_id) as rank
+          from scored
+        ) where rank <= 5
+    """
+
+
+def _embedding_neardup_sql() -> str:
+    from mfdedup_spark import annops
+
+    bsql = annops.srp_bucket_sql("embedding")
+    cos = annops.cosine_sql("a.ea", "b.eb")
+    return f"""
+        with wb as (select vec_id, embedding, {bsql} as bucket from embeddings),
+        a as (select bucket, vec_id as vec_id_a, embedding as ea from wb),
+        b as (select bucket, vec_id as vec_id_b, embedding as eb from wb)
+        select vec_id_a, vec_id_b, round({cos}, 6) as cosine
+        from a join b on a.bucket = b.bucket and vec_id_a < vec_id_b
+        where round({cos}, 6) >= 0.4
+    """
+
+
+def _srp_hist_sql() -> str:
+    from mfdedup_spark import annops
+
+    return (
+        f"select {annops.srp_bucket_sql('embedding')} as bucket, count(*) as n "
+        "from embeddings group by 1"
+    )
+
+
+ORACLE_SQL["simhash_docs"] = textops.doc_simhash_sql()
+ORACLE_SQL["simhash_band_pairs_docs"] = _simhash_pairs_sql()
+ORACLE_SQL["srp_bucket_hist"] = _srp_hist_sql()
+ORACLE_SQL["ann_lsh_topk"] = _ann_sql()
+ORACLE_SQL["embedding_neardup"] = _embedding_neardup_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "simhash_docs": q_simhash_docs,
+    "simhash_band_pairs_docs": q_simhash_band_pairs_docs,
+    "caption_substring_docs": q_caption_substring_docs,
+    "srp_bucket_hist": q_srp_bucket_hist,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_bands_docs": q_minhash_bands_docs,
     "lsh_pairs_docs": q_lsh_pairs_docs,

@@ -90,10 +90,17 @@ def byte_shingles(
     a = np.frombuffer(data, dtype=np.uint8)
     if len(a) < k:
         a = np.pad(a, (0, k - len(a)))
-    win = np.lib.stride_tricks.sliding_window_view(a, k).astype(U64)
-    h = np.zeros(len(win), dtype=U64)
-    for j in range(k):
-        h = (h << U64(8)) | win[:, j]
+    if k == 8:
+        # zero-copy: unaligned byte-strided uint64 view — each window read
+        # as one (little-endian) machine word instead of an (n,8) expansion
+        h = np.ndarray(
+            buffer=a, dtype=U64, shape=(len(a) - 7,), strides=(1,)
+        )
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(a, k).astype(U64)
+        h = np.zeros(len(win), dtype=U64)
+        for j in range(k):
+            h = (h << U64(8)) | win[:, j]
     u = np.unique(splitmix64(h ^ seed))
     if sample_bits <= 0:
         return u
@@ -110,9 +117,17 @@ def minhash_signature(shingles: np.ndarray, tables: SignatureTables) -> np.ndarr
     """
     if len(shingles) == 0:
         shingles = np.zeros(1, dtype=U64)
-    # (P, S) multiply-shift, wraparound uint64; min over shingle axis
-    m = (tables.minhash_a[:, None] * shingles[None, :]) + tables.minhash_b[:, None]
-    return m.min(axis=1).view(np.int64)
+    # (P, S) multiply-shift with wraparound uint64, evaluated in shingle
+    # chunks sized so the temp stays L2-resident (cache-bound, not
+    # memory-bandwidth-bound — matters when 32 workers share one socket)
+    a, b = tables.minhash_a, tables.minhash_b
+    out = np.full(len(a), np.iinfo(np.uint64).max, dtype=U64)
+    step = 1024
+    for i in range(0, len(shingles), step):
+        chunk = shingles[i : i + step]
+        m = (a[:, None] * chunk[None, :]) + b[:, None]
+        np.minimum(out, m.min(axis=1), out=out)
+    return out.view(np.int64)
 
 
 def lsh_band_buckets(minhash: np.ndarray, tables: SignatureTables) -> np.ndarray:

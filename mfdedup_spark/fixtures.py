@@ -39,14 +39,22 @@ ARROW_SCHEMA_FIELDS = [
 ]
 
 
-def write_parquet(df: pd.DataFrame, path: str) -> None:
+def write_parquet(df: pd.DataFrame, path: str, row_group_size: int = 2048) -> None:
     """Write an images fixture with the exact input_hint schema
-    (binary bytes, int32 dims, int64 phash)."""
+    (binary bytes, int32 dims, int64 phash).
+
+    Small row groups matter: parquet is only splittable at row-group
+    granularity, so a single-group file serializes every downstream scan
+    onto one task no matter how many cores the cluster has."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     schema = pa.schema([(n, getattr(pa, t)()) for n, t in ARROW_SCHEMA_FIELDS])
-    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+        path,
+        row_group_size=row_group_size,
+    )
 _FMTS = ["raw", "png", "jpeg"]
 _DIMS = [32, 64, 128]
 
@@ -78,10 +86,14 @@ def _caption(rng: np.random.Generator, vocab: list[str]) -> str:
     return " ".join(vocab[i] for i in rng.integers(0, len(vocab), n))
 
 
-def _rand_image(rng: np.random.Generator) -> tuple[np.ndarray, str]:
-    h = int(rng.choice(_DIMS))
-    w = int(rng.choice(_DIMS))
-    fmt = str(rng.choice(_FMTS))
+def _rand_image(
+    rng: np.random.Generator,
+    fmt_weights: list[float] | None = None,
+    dims: list[int] | None = None,
+) -> tuple[np.ndarray, str]:
+    h = int(rng.choice(dims or _DIMS))
+    w = int(rng.choice(dims or _DIMS))
+    fmt = str(rng.choice(_FMTS, p=fmt_weights))
     # smooth-ish random field: random base + blur via cumulative trick,
     # keeps pHash meaningful while remaining fully deterministic
     px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
@@ -113,8 +125,15 @@ def _row(image_id: str, px: np.ndarray, fmt: str, caption: str) -> dict:
     }
 
 
-def generate_images(n_images: int = 200, seed: int = 42) -> tuple[pd.DataFrame, Truth]:
-    """Single-version fixture with planted dup structure."""
+def generate_images(
+    n_images: int = 200,
+    seed: int = 42,
+    fmt_weights: list[float] | None = None,
+    dims: list[int] | None = None,
+) -> tuple[pd.DataFrame, Truth]:
+    """Single-version fixture with planted dup structure. ``fmt_weights``
+    orders over (raw, png, jpeg) — the bench uses a jpeg-heavy web-like
+    mix; ``dims`` overrides the size choices (bench uses 64-256 px)."""
     rng = np.random.default_rng(seed)
     vocab = _vocab(rng)
     truth = Truth()
@@ -135,7 +154,7 @@ def generate_images(n_images: int = 200, seed: int = 42) -> tuple[pd.DataFrame, 
         return s
 
     for _ in range(n_base):
-        px, fmt = _rand_image(rng)
+        px, fmt = _rand_image(rng, fmt_weights, dims)
         cap = _caption(rng, vocab)
         iid = new_id()
         bases.append((iid, px, fmt, cap))

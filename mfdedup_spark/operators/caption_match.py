@@ -107,23 +107,29 @@ def caption_pairs(
         .where(F.col("caption_a") != F.col("caption_b"))
     )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
+    def verify_batch(batches):
+        """Anchor groups are co-located by the repartition below; a single
+        pandas groupby per Arrow batch amortizes the per-group overhead
+        that per-group applyInPandas would pay (~ms × #groups)."""
         from mfdedup_spark.core.suffix_array import BucketMatcher, contains
 
-        out = []
-        anchor = group["image_id_a"].iloc[0]
-        cap_a = group["caption_a"].iloc[0]
-        members = group["image_id_b"].tolist()
-        caps_b = group["caption_b"].tolist()
-        # one suffix array over all member captions: which host the anchor?
-        m = BucketMatcher(caps_b)
-        hosts = m.hosts_of(cap_a)
-        for i, (mid, cb) in enumerate(zip(members, caps_b)):
-            if i in hosts or contains(cap_a, cb):
-                out.append((anchor, mid, "caption", 1.0))
-        return pd.DataFrame(out, columns=[f.name for f in PAIR_SCHEMA.fields])
+        cols = [f.name for f in PAIR_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for anchor, group in pdf.groupby("image_id_a", sort=False):
+                cap_a = group["caption_a"].iloc[0]
+                members = group["image_id_b"].tolist()
+                caps_b = group["caption_b"].tolist()
+                # one suffix array over the member captions: which host the
+                # anchor? plus the reverse containment per member
+                m = BucketMatcher(caps_b)
+                hosts = m.hosts_of(cap_a)
+                for i, (mid, cb) in enumerate(zip(members, caps_b)):
+                    if i in hosts or contains(cap_a, cb):
+                        out.append((anchor, mid, "caption", 1.0))
+            yield pd.DataFrame(out, columns=cols)
 
-    return (
-        joined.groupBy("image_id_a").applyInPandas(verify, schema=PAIR_SCHEMA),
-        stats,
+    verified = joined.repartition("image_id_a").mapInPandas(
+        verify_batch, schema=PAIR_SCHEMA
     )
+    return verified, stats

@@ -68,11 +68,22 @@ def anchor_star_pairs(
         .where(F.col("rn1") <= cap)
         .drop("rn1", "salt")
     )
+    # rank AND attach the bucket anchor in ONE window stage: first() over
+    # the same (keys, orderBy id) window shares the shuffle/sort with
+    # row_number, so pair emission needs no anchors⋈members self-join
     w2 = Window.partitionBy(*keys).orderBy(id_col)
-    ranked = lvl1.withColumn("rn", F.row_number().over(w2))
-    # branch point: anchors and members both read `capped` — persist so the
-    # window chain isn't recomputed once per branch
-    capped = ranked.where(F.col("rn") <= cap).persist()
+    w2row = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = lvl1.select(
+        *keys,
+        F.col(id_col),
+        F.row_number().over(w2).alias("rn"),
+        F.first(id_col).over(w2row).alias("image_id_a"),
+    )
+    pairs = (
+        ranked.where((F.col("rn") > 1) & (F.col("rn") <= cap))
+        .select("image_id_a", F.col(id_col).alias("image_id_b"))
+        .distinct()
+    )
 
     # drop log: buckets whose membership exceeded the cap
     stats = (
@@ -81,18 +92,6 @@ def anchor_star_pairs(
         .where(F.col("members") > cap)
         .withColumn("kept", F.lit(cap))
         .withColumn("dropped", F.col("members") - cap)
-    )
-
-    anchors = capped.where(F.col("rn") == 1).select(
-        *keys, F.col(id_col).alias("image_id_a")
-    )
-    members = capped.where(F.col("rn") > 1).select(
-        *keys, F.col(id_col).alias("image_id_b")
-    )
-    pairs = (
-        members.join(anchors, on=keys)
-        .select("image_id_a", "image_id_b")
-        .distinct()
     )
     return pairs, stats
 

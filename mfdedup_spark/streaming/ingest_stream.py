@@ -1,0 +1,115 @@
+"""Structured Streaming ingestion — the streaming face of the versioned
+NDF ingest (SURVEY.md §2.6: "foreachBatch ingestion of new versions").
+
+The reference ingests one backup version per CLI invocation
+(/root/reference/main.cpp:115-205). Here the same job runs continuously:
+a file stream watches an arrival directory for new version partitions and
+``foreachBatch`` applies the exact batch ingest per version, in order —
+ingest_version's idempotent partition writes + manifest swap make the
+foreachBatch at-least-once delivery exactly-once in effect (re-delivered
+versions are skipped via the manifest check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mfdedup_spark.config import EngineConfig
+from mfdedup_spark.store import DedupStore
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("seq_no", T.LongType()),
+    ]
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    store: DedupStore,
+    cfg: EngineConfig,
+    source_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Watch ``source_dir`` for image-version parquet files and ingest
+    each complete version through the batch NDF path. Returns the started
+    StreamingQuery (awaitTermination on the caller's side)."""
+    from mfdedup_spark.plans.ingest import ingest_version
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        versions = [
+            r["version"]
+            for r in batch_df.select("version").distinct().orderBy("version").collect()
+        ]
+        for v in versions:
+            ingest_version(
+                store, batch_df.where(F.col("version") == v), cfg,
+                apply_arrangement=True,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_hourly_metrics(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window aggregation over a streamed events
+    table — the late-data-tolerant metrics stream (SURVEY §2.6 streaming
+    row). Returns (query, memory table name)."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hourly_metrics")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, "hourly_metrics"

@@ -267,6 +267,125 @@ def doc_lang_id(docs: DataFrame) -> DataFrame:
     return scored.select("doc_id", guess.alias("lang_guess"))
 
 
+SIMHASH_BITS = 60  # gram hashes carry 60 bits (15 hex chars of md5)
+
+
+def doc_simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash over distinct word-gram hashes, pure JVM
+    expressions: bit i set iff more grams have bit i than not. Portable to
+    DuckDB verbatim (shift/and/sum/case)."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(gram_hashes(F.col("text")))).alias("g"),
+    )
+    votes = grams.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("g"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def doc_simhash_sql() -> str:
+    votes = ", ".join(
+        f"cast(sum(case when (g >> {i}) & 1 = 1 then 1 else -1 end) as bigint) as v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fold = " + ".join(
+        f"case when v{i} > 0 then cast({1 << i} as bigint) else 0 end"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        with grams as (
+          select doc_id, unnest(list_distinct({gram_hashes_sql('text')})) as g
+          from documents
+        ),
+        votes as (select doc_id, {votes} from grams group by doc_id)
+        select doc_id, {fold} as simhash from votes
+    """
+
+
+def doc_simhash_band_pairs(docs: DataFrame, hamming_max: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: block on 4 × 15-bit simhash bands, verify
+    hamming ≤ threshold with bit_count(xor) — the text twin of the image
+    SimHash path."""
+    sim = doc_simhash(docs)
+    # posexplode keeps band index so buckets of different bands don't mix
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 15).bitwiseAND(
+                        F.lit((1 << 15) - 1)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(
+        "band", "bucket", F.col("doc_id").alias("doc_id_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    b = bands.select(
+        "band", "bucket", F.col("doc_id").alias("doc_id_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+
+
+def doc_caption_substring_pairs(docs: DataFrame) -> DataFrame:
+    """Exact-substring containment pairs over shared-gram candidates —
+    the SQL-checkable twin of the image caption suffix-array matcher."""
+    grams = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.array_distinct(gram_hashes(F.col("text")))).alias("g"),
+    )
+    a = grams.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a"), "g"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"), "g"
+    )
+    cand = (
+        a.join(b, "g")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "text_a", "doc_id_b", "text_b")
+        .distinct()
+    )
+    return (
+        cand.where(
+            (F.col("text_a") != F.col("text_b"))
+            & (
+                F.contains(F.col("text_b"), F.col("text_a"))
+                | F.contains(F.col("text_a"), F.col("text_b"))
+            )
+        )
+        .select("doc_id_a", "doc_id_b")
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Rolling polynomial fingerprint over gram hashes:
     fold(h_i): acc = (acc*31 + h_i) % P, seeded with 0 (list_prepend twin

@@ -1,0 +1,134 @@
+"""Tests for the training-data-pipeline extras: multimodal plumbing,
+ANN / embedding dedup, text ops, and structured streaming."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mfdedup_spark import annops, multimodal, textops
+from mfdedup_spark.core import codecs
+from mfdedup_spark.fixtures import generate_images, write_parquet
+
+
+@pytest.fixture(scope="module")
+def images_df(spark, tmp_path_factory):
+    df, _ = generate_images(60, seed=11)
+    p = tmp_path_factory.mktemp("mm") / "images.parquet"
+    write_parquet(df, str(p))
+    return spark.read.parquet(str(p))
+
+
+def test_resize_images(spark, images_df):
+    out = multimodal.resize_images(images_df, 16, 16).toPandas()
+    assert len(out) == 60
+    assert (out["w"] == 16).all() and (out["h"] == 16).all()
+    r = out.iloc[0]
+    px = codecs.decode(bytes(r["bytes"]), 16, 16, r["fmt"])
+    assert px.shape == (16, 16)
+
+
+def test_image_features(spark, images_df):
+    out = multimodal.image_features(images_df).toPandas()
+    assert len(out) == 60
+    assert out["std_px"].gt(0).any()
+    assert out["phash"].nunique() > 30
+
+
+def test_video_frame_sampling(spark):
+    rng = np.random.default_rng(3)
+    vids = []
+    for i in range(4):
+        frames = rng.integers(0, 256, (30, 8, 8), dtype=np.uint8)
+        vids.append((f"vid{i}", multimodal.encode_rawframes(frames, fps=10), "rawframes"))
+    df = spark.createDataFrame(vids, "video_id string, bytes binary, container string")
+    out = multimodal.decode_video_frames(df, every_nth=10).toPandas()
+    assert len(out) == 4 * 3  # frames 0, 10, 20
+    assert set(out["frame_idx"]) == {0, 10, 20}
+    assert (out["ts_ms"] == out["frame_idx"] * 100).all()
+    # unsupported container raises with the missing dependency named
+    bad = spark.createDataFrame(
+        [("v", b"\x00" * 32, "mp4")], "video_id string, bytes binary, container string"
+    )
+    with pytest.raises(Exception, match="pyav|ffmpeg|NotImplemented"):
+        multimodal.decode_video_frames(bad).collect()
+
+
+def test_audio_segments(spark):
+    sr = 1000
+    tone = (np.sin(np.arange(3 * sr) * 0.3) * 10000).astype(np.int16)
+    df = spark.createDataFrame(
+        [("a0", multimodal.encode_pcm16(tone, sr), "pcm16")],
+        "audio_id string, bytes binary, codec string",
+    )
+    out = multimodal.audio_segment_features(df, segment_ms=1000).toPandas()
+    assert len(out) == 3
+    assert (out["rms"] > 1000).all()
+    assert (out["zero_crossings"] > 10).all()
+
+
+def test_ann_lsh_subset_of_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = annops.ann_lsh_topk(emb, n_queries=5, k=3).toPandas()
+    assert len(lsh) > 0
+    # LSH neighbors must be genuine same-bucket vectors; spot-check one
+    # cosine value against numpy
+    pdf = emb.toPandas().set_index("vec_id")
+    r = lsh.iloc[0]
+    a = np.array(pdf.loc[r["query_id"], "embedding"], dtype=np.float64)
+    b = np.array(pdf.loc[r["neighbor_id"], "embedding"], dtype=np.float64)
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(want - r["cosine"]) < 1e-5
+
+
+def test_embedding_neardup_threshold(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = annops.embedding_neardup_pairs(emb, threshold=0.3).toPandas()
+    assert (pairs["cosine"] >= 0.3).all()
+    assert (pairs["vec_id_a"] < pairs["vec_id_b"]).all()
+
+
+def test_streaming_ingest(spark, tmp_path):
+    """foreachBatch versioned ingest: stream result == batch result."""
+    from mfdedup_spark.config import EngineConfig
+    from mfdedup_spark.fixtures import generate_versioned
+    from mfdedup_spark.store import DedupStore
+    from mfdedup_spark.streaming.ingest_stream import stream_ingest
+
+    pdf = generate_versioned(n_images=40, versions=2, seed=5)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    # arrival contract: one file per version
+    for v in sorted(pdf["version"].unique()):
+        write_parquet(pdf[pdf["version"] == v], str(src / f"v{v}.parquet"))
+
+    store = DedupStore(spark, str(tmp_path / "wh"))
+    q = stream_ingest(
+        spark, store, EngineConfig(), str(src), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(timeout=300)
+    m = store.read_manifest()
+    assert m["total_version"] == 2
+    cl = store.read_table("classification")
+    assert cl.where("version = 2").where("result = 'ADJACENT'").count() > 0
+
+
+def test_streaming_hourly_metrics(spark, tmp_path):
+    from mfdedup_spark.streaming.ingest_stream import stream_hourly_metrics
+
+    q, table = stream_hourly_metrics(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(timeout=300)
+    out = spark.sql(f"select * from {table}").toPandas()
+    # append mode only emits windows older than the watermark — compare
+    # those to the batch aggregation
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    assert len(out) > 0
+    merged = out.merge(batch, on=["hour_start", "event_type"], suffixes=("", "_b"))
+    assert (merged["n"] == merged["n_b"]).all()
