@@ -34,6 +34,7 @@ def ingest_version(
     images: DataFrame,
     cfg: EngineConfig,
     apply_arrangement: bool = True,
+    with_clusters: bool = False,
 ) -> dict:
     """Ingest one backup version (images must carry version + seq_no with a
     single version value). Returns summary dict."""
@@ -112,6 +113,30 @@ def ingest_version(
             "state": "committed",
         },
     ]
+
+    if with_clusters:
+        # the graft's near-dup cluster assignment for this version
+        # (north_star: recover category/volume assignment as clusters)
+        from mfdedup_spark.operators.caption_match import caption_pairs
+        from mfdedup_spark.operators.connected_components import (
+            connected_components,
+        )
+        from mfdedup_spark.operators.lsh import candidate_pairs
+        from mfdedup_spark.operators.verify import verify_pairs as _verify
+
+        cand, _ = candidate_pairs(sig, cfg.signature)
+        pairs = _verify(cand, sig, cfg.signature)
+        cpairs, _ = caption_pairs(images, cfg.signature)
+        edges = (
+            pairs.select("image_id_a", "image_id_b")
+            .unionByName(cpairs.select("image_id_a", "image_id_b"))
+            .distinct()
+        )
+        clusters = connected_components(edges, sig.select("image_id"))
+        store.write_partition(
+            clusters.withColumn("version", F.lit(v).cast("int")),
+            "clusters", "version", v,
+        )
 
     fall_behind = manifest["arrangement_fall_behind"]
     if apply_arrangement and v > 1:
@@ -226,6 +251,7 @@ def ingest_series(
     cfg: EngineConfig,
     apply_arrangement: bool = True,
     retention: bool = True,
+    with_clusters: bool = False,
 ) -> list[dict]:
     """Ingest every version present in images_all, in order — the backup
     loop of main.cpp:138-205, including retention GC when configured."""
@@ -238,7 +264,11 @@ def ingest_series(
     out = []
     for v in versions:
         res = ingest_version(
-            store, images_all.where(F.col("version") == v), cfg, apply_arrangement
+            store,
+            images_all.where(F.col("version") == v),
+            cfg,
+            apply_arrangement,
+            with_clusters=with_clusters,
         )
         if retention:
             res["retention"] = apply_retention(store, cfg.retention)

@@ -198,3 +198,28 @@ def test_fall_behind_then_catchup(spark, series, tmp_path_factory):
     for v in (1, 2, 3):
         restored, stats = restore_version(store, v)
         assert stats["rows"] == len(pdf[pdf["version"] == v])
+
+
+def test_ingest_with_clusters(spark, series, tmp_path_factory):
+    """Clusters written per version match the oracle's per-version
+    clustering (same signature config, union of LSH + caption pairs)."""
+    path, pdf = series
+    wh = str(tmp_path_factory.mktemp("warehouse_cl"))
+    store = DedupStore(spark, wh)
+    images = spark.read.parquet(path)
+    from mfdedup_spark.plans.ingest import ingest_version
+    ingest_version(store, images.where("version = 1"), CFG, with_clusters=True)
+    got = (
+        store.read_partitions("clusters", "version", [1])
+        .select("image_id", "cluster_id")
+        .toPandas()
+    )
+    v1 = pdf[pdf["version"] == 1]
+    sigs = oracle.compute_signatures(v1, CFG.signature)
+    cand = oracle.candidate_pairs(sigs, CFG.signature)
+    pairs = oracle.verify_pairs(sigs, cand, CFG.signature)
+    cpairs = oracle.caption_pairs(v1, CFG.signature)
+    import pandas as _pd
+    allp = _pd.concat([pairs, cpairs], ignore_index=True)
+    want = oracle.connected_components(allp, v1["image_id"].tolist())
+    assert dict(zip(got["image_id"], got["cluster_id"])) == want
