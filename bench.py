@@ -35,7 +35,7 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-FIXTURE_VERSION = "v4"  # bump when codec/fixture semantics change
+FIXTURE_VERSION = "v5"  # bump when codec/fixture semantics change
 
 
 def ensure_image_fixture(n_images: int, cache_root: str = "/tmp/mfdedup_bench") -> str:

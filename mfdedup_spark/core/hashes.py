@@ -101,12 +101,17 @@ def byte_shingles(
         h = np.zeros(len(win), dtype=U64)
         for j in range(k):
             h = (h << U64(8)) | win[:, j]
-    u = np.unique(splitmix64(h ^ seed))
+    hm = splitmix64(h ^ seed)
     if sample_bits <= 0:
-        return u
+        return np.unique(hm)
     threshold = U64(1) << U64(64 - sample_bits)
-    keep = max(int(np.searchsorted(u, threshold)), min(sample_min, len(u)))
-    return u[:keep]
+    # filter-then-unique: sorts only the ~2^-bits sample instead of the
+    # full window set (identical output to sorting everything first)
+    u_sel = np.unique(hm[hm < threshold])
+    if len(u_sel) >= sample_min:
+        return u_sel
+    u = np.unique(hm)  # rare: tiny or near-constant inputs → bottom-k
+    return u[: min(sample_min, len(u))]
 
 
 def minhash_signature(shingles: np.ndarray, tables: SignatureTables) -> np.ndarray:

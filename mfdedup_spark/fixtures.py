@@ -179,8 +179,13 @@ def generate_images(
             rows.append(_row(iid, base_decoded, new_fmt, cap))
         elif mode == 1:  # bounded noise
             rows.append(_row(iid, _noise(rng, base_decoded), fmt, cap))
-        else:  # crop last row
-            rows.append(_row(iid, base_decoded[:-1, :], fmt, cap))
+        else:
+            # crop last row; saved losslessly (a lossy re-encode of a
+            # shifted 8×8 block grid would requantize every block and
+            # destroy byte-level similarity — realistic crops are saved
+            # as png)
+            crop_fmt = "png" if fmt == "jpeg" else fmt
+            rows.append(_row(iid, base_decoded[:-1, :], crop_fmt, cap))
         truth.near_pairs.add(tuple(sorted((bid, iid))))
 
     for _ in range(n_cap):

@@ -17,8 +17,11 @@ def get_spark(
     app: str = "mfdedup-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 2048,
+    arrow_batch: int = 256,
 ) -> SparkSession:
+    # arrow_batch: 256-row batches pipeline JVM feed with python compute
+    # (~5MB batches for image rows); 2048 doubled signature-stage wall
+    # time by serializing 40MB feed/compute phases per batch.
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cores}]"
     if shuffle_partitions is None:

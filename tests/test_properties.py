@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the deterministic core, plus the
+hot-bucket cap parity stress (Spark vs oracle under a tiny bucket_cap)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mfdedup_spark.config import SignatureConfig
+from mfdedup_spark.core import codecs
+from mfdedup_spark.core.hashes import (
+    SignatureTables,
+    byte_shingles,
+    minhash_signature,
+)
+from mfdedup_spark.core.suffix_array import build_suffix_array, contains
+
+CFG = SignatureConfig()
+T = SignatureTables.get(CFG)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="abcxyz ", max_size=200), st.text(alphabet="abcxyz ", max_size=20))
+def test_suffix_array_contains_matches_python(host, needle):
+    assert contains(host, needle) == (needle in host)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abz", min_size=1, max_size=300))
+def test_suffix_array_is_sorted_permutation(s):
+    sa = build_suffix_array(s)
+    assert sorted(sa.tolist()) == list(range(len(s)))
+    suf = [s[i:] for i in sa]
+    assert suf == sorted(suf)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_shingles_deterministic_and_bounded(data):
+    s1 = byte_shingles(data, CFG.shingle_k, T.shingle_seed,
+                       CFG.shingle_sample_bits, CFG.shingle_sample_min)
+    s2 = byte_shingles(data, CFG.shingle_k, T.shingle_seed,
+                       CFG.shingle_sample_bits, CFG.shingle_sample_min)
+    assert np.array_equal(s1, s2)
+    assert len(s1) >= 1
+    # sorted unique
+    assert np.all(np.diff(s1.astype(np.uint64)) > 0) or len(s1) == 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 60), st.integers(1, 60), st.sampled_from(["raw", "png", "jpeg"]))
+def test_codec_roundtrip_psnr(h, w, fmt):
+    rng = np.random.default_rng(h * 61 + w)
+    px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dec = codecs.decode(codecs.encode(px, fmt), w, h, fmt)
+    assert dec.shape == (h, w)
+    if fmt in ("raw", "png"):
+        assert np.array_equal(dec, px)
+    else:
+        assert codecs.psnr(px, dec) >= 40.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=500))
+def test_minhash_subset_monotone(xs):
+    """MinHash of a superset is component-wise ≤ the subset's (mins can
+    only decrease as elements are added)."""
+    arr = np.unique(np.array(xs, dtype=np.uint64))
+    half = arr[: max(1, len(arr) // 2)]
+    m_all = minhash_signature(arr, T).view(np.uint64)
+    m_half = minhash_signature(half, T).view(np.uint64)
+    assert (m_all <= m_half).all()
+
+
+def test_hot_bucket_cap_parity(spark):
+    """Hot-bucket stress: with a tiny bucket_cap the Spark salted two-level
+    cap must keep exactly the oracle's sorted-prefix members, and the drop
+    log must account for the overflow."""
+    from mfdedup_spark import oracle
+    from mfdedup_spark.fixtures import generate_images, write_parquet
+    from mfdedup_spark.operators.lsh import candidate_pairs
+
+    cfg = SignatureConfig(bucket_cap=4, salt_buckets=3)
+    df, truth = generate_images(120, seed=21)
+    import tempfile, os
+
+    p = os.path.join(tempfile.mkdtemp(), "img.parquet")
+    write_parquet(df, p)
+    from mfdedup_spark.functions.signatures import compute_signatures
+
+    sig = compute_signatures(spark.read.parquet(p), cfg).persist()
+    got_pairs, stats = candidate_pairs(sig, cfg)
+    got = {
+        tuple(r)
+        for r in got_pairs.select("image_id_a", "image_id_b").toPandas().values
+    }
+    want = oracle.candidate_pairs(oracle.compute_signatures(df, cfg), cfg)
+    assert got == want
+    # hot-bucket adversaries overflow cap=4 → non-empty drop log
+    assert stats.where("dropped > 0").count() > 0

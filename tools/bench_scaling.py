@@ -45,6 +45,7 @@ def run_once(cpus: int, zpath: str, input_path: str, mode: str, fidelity: str) -
         "--conf", "spark.driver.memory=24g",
         "--conf", "spark.local.dir=/dev/shm/spark-local",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=256",
         "--py-files", zpath,
         os.path.join(REPO, "jobs", "ingest.py"),
         "--input", input_path,
