@@ -15,10 +15,13 @@ Dataflow:
    complete blocking scheme for whole-word-aligned substrings.
 2. Candidate pairs — the same salted/capped anchor-star generator as the
    MinHash LSH path (operators/lsh.anchor_star_pairs).
-3. Verification — ``applyInPandas`` grouped by anchor: each group builds
-   one suffix array over the member captions (core.suffix_array
-   .BucketMatcher) to find members hosting the anchor caption, and one
-   suffix array over the anchor caption for the reverse direction.
+3. Verification — per-anchor suffix-array groups: rows are repartitioned
+   by anchor and processed by ``mapInPandas`` with a pandas groupby
+   inside each Arrow batch (same semantics as applyInPandas-per-group,
+   but the per-group Arrow round-trip — milliseconds × #groups — is
+   amortized to one per batch). Each group builds one suffix array over
+   the member captions (core.suffix_array.BucketMatcher) to find members
+   hosting the anchor caption, plus the reverse containment per member.
 
 Scale note: gram explosion multiplies caption rows by ≤ (tokens-k+1);
 at 10^12 rows the blocking key count is bounded by sampling the m
