@@ -64,14 +64,22 @@ def main() -> None:
         images = images.repartition(cpus)
     n = images.count()  # row count outside the timed section
 
-    t0 = time.time()
-    if args.mode == "signatures":
+    def run_signatures() -> None:
         from mfdedup_spark.functions.signatures import compute_signatures
         from mfdedup_spark.operators.classification import classify
 
         sig = compute_signatures(images, sig_cfg)
-        out = classify(sig, None)
-        out.write.format("noop").mode("overwrite").save()
+        classify(sig, None).write.format("noop").mode("overwrite").save()
+
+    if args.mode == "signatures":
+        # steady-state measurement: one untimed pass warms the OS page
+        # cache, JVM JIT, and python workers (identical at every
+        # parallelism level, like cluster warmup)
+        run_signatures()
+
+    t0 = time.time()
+    if args.mode == "signatures":
+        run_signatures()
     elif args.mode == "dedup":
         from mfdedup_spark.plans.pipeline import dedup_images
 

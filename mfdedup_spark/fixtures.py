@@ -54,6 +54,9 @@ def write_parquet(df: pd.DataFrame, path: str, row_group_size: int = 2048) -> No
         pa.Table.from_pandas(df, schema=schema, preserve_index=False),
         path,
         row_group_size=row_group_size,
+        # bytes are already zlib/DCT-compressed — snappy on top only
+        # burns scan-side CPU
+        compression="none",
     )
 _FMTS = ["raw", "png", "jpeg"]
 _DIMS = [32, 64, 128]

@@ -42,6 +42,7 @@ SIGNATURE_SCHEMA = T.StructType(
         T.StructField("length", T.LongType()),
         T.StructField("sha1", T.StringType()),
         T.StructField("phash", T.LongType()),
+        T.StructField("phash_ok", T.BooleanType()),
         T.StructField("simhash", T.LongType()),
         T.StructField("minhash", T.ArrayType(T.LongType())),
         T.StructField("mh_bands", T.ArrayType(T.LongType())),
@@ -64,6 +65,8 @@ def compute_signatures(images: DataFrame, cfg: SignatureConfig) -> DataFrame:
     pruned = images.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mfdedup_spark.core.hashes import phash64
+
         t = SignatureTables.get(cfg)  # built once per python worker
         for pdf in batches:
             out = []
@@ -78,6 +81,11 @@ def compute_signatures(images: DataFrame, cfg: SignatureConfig) -> DataFrame:
                 )
                 mh = minhash_signature(sh, t)
                 sim = simhash64(sh, int(r.phash), t)
+                # integrity check: the stored pHash must match the decoded
+                # pixels (the SimHash seed and the NDF-locality sort both
+                # trust it; reference precedent: index-insert asserts,
+                # MetadataManager.h:98,109)
+                ok = phash64(pixels) == int(r.phash)
                 out.append(
                     (
                         r.image_id,
@@ -86,6 +94,7 @@ def compute_signatures(images: DataFrame, cfg: SignatureConfig) -> DataFrame:
                         len(r.bytes),
                         sha1_hex(r.bytes),
                         int(r.phash),
+                        ok,
                         sim,
                         mh.tolist(),
                         lsh_band_buckets(mh, t).tolist(),

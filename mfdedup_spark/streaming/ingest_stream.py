@@ -44,7 +44,15 @@ def stream_ingest(
 ):
     """Watch ``source_dir`` for image-version parquet files and ingest
     each complete version through the batch NDF path. Returns the started
-    StreamingQuery (awaitTermination on the caller's side)."""
+    StreamingQuery (awaitTermination on the caller's side).
+
+    Arrival contract: ONE parquet file per version (the file-stream source
+    delivers whole files per micro-batch, so a version can never be split
+    across batches — a split version would half-ingest and then be
+    manifest-skipped on redelivery). Producers writing multi-file versions
+    must land them under a staging name and atomically rename the single
+    merged file in.
+    """
     from mfdedup_spark.plans.ingest import ingest_version
 
     stream = (
