@@ -80,6 +80,7 @@ def ingest_version(
     store.write_partition(
         new_chunks.withColumn("category", F.lit(new_cat)), "chunk_store",
         "category", new_cat,
+        sort_cols=[F.shiftright(F.col("phash"), 48)],  # NDF-locality layout
     )
 
     metrics = version_metrics(classified)
@@ -198,7 +199,10 @@ def arrange(store: DedupStore, v: int) -> list[dict]:
         part = active.where(F.col("first_version") == y).withColumn(
             "category", F.lit(serial)
         )
-        store.write_partition(part, "chunk_store", "category", serial)
+        store.write_partition(
+            part, "chunk_store", "category", serial,
+            sort_cols=[F.shiftright(F.col("phash"), 48)],
+        )
         lineage.append(
             {
                 "partition_id": f"chunk_store/category={serial}",

@@ -76,12 +76,25 @@ class DedupStore:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
-    def write_partition(self, df: DataFrame, table: str, key: str, value) -> None:
+    def write_partition(
+        self, df: DataFrame, table: str, key: str, value, sort_cols=None
+    ) -> None:
         """Idempotent partition overwrite: re-running a failed job rewrites
         the same partition deterministically (the resume story — commits
-        are per-partition, the manifest swap is the global commit)."""
+        are per-partition, the manifest swap is the global commit).
+
+        ``sort_cols`` applies the NDF-locality layout (north_star:
+        sort-within-partitions by (phash prefix, MinHash band) so
+        candidate neighbors co-locate in row groups — the AVAR sequential
+        layout re-expressed; reference: category-ordered volumes,
+        ArrangementReadPipeline.h:57-73). Parquet min/max stats on the
+        sorted columns then skip row groups during verification scans.
+        """
         target = os.path.join(self.path(table), f"{key}={value}")
-        df.drop(key).write.mode("overwrite").parquet(target)
+        out = df.drop(key)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(target)
 
     def read_partitions(self, table: str, key: str, values: list) -> DataFrame | None:
         paths = [

@@ -132,3 +132,20 @@ def test_streaming_hourly_metrics(spark, tmp_path):
     assert len(out) > 0
     merged = out.merge(batch, on=["hour_start", "event_type"], suffixes=("", "_b"))
     assert (merged["n"] == merged["n_b"]).all()
+
+
+def test_phash_integrity_flag(spark, tmp_path):
+    """Signature stage flags rows whose stored pHash doesn't match the
+    decoded pixels (phash_ok=False), and passes everything else."""
+    from mfdedup_spark.config import SignatureConfig
+    from mfdedup_spark.functions.signatures import compute_signatures
+
+    df, _ = generate_images(30, seed=13)
+    df = df.copy()
+    df.loc[df.index[3], "phash"] = np.int64(12345)  # corrupt one row
+    bad_id = df.iloc[3]["image_id"]
+    p = str(tmp_path / "img.parquet")
+    write_parquet(df, p)
+    sig = compute_signatures(spark.read.parquet(p), SignatureConfig()).toPandas()
+    flagged = set(sig.loc[~sig["phash_ok"], "image_id"])
+    assert flagged == {bad_id}
