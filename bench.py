@@ -74,13 +74,18 @@ def run(sf_dir: str, cpus: int, image_rows: int | None = None) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the python-worker pool once so timings measure steady state,
-    # not interpreter startup (excluded like any cluster warmup)
+    # warm to steady state (python workers, JIT, codegen for the big
+    # plans) with a tiny end-to-end pass — excluded like cluster warmup
     import pandas as _pd
 
     spark.range(0, cpus, 1, cpus).mapInPandas(
         lambda it: (_pd.DataFrame({"x": [len(b)]}) for b in it), "x long"
     ).count()
+    warm = dedup_images(spark.read.parquet(img_path).limit(400), SignatureConfig())
+    warm["clusters"].write.format("noop").mode("overwrite").save()
+    warm["signatures"].unpersist()
+    force_warm = contract.flagship(spark, "/root/testdata/sf0.001")
+    force_warm.write.format("noop").mode("overwrite").save()
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()

@@ -127,6 +127,73 @@ def ann_lsh_topk(emb_df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     )
 
 
+# ------------------------------------------------------------------- IVF
+N_CENTROIDS = 16
+
+
+def _centroid(i: int) -> list[float]:
+    """Deterministic pseudo-centroid i: exact-decimal components derived
+    from the named master seed (a real deployment trains these with
+    k-means; the assignment/search plumbing is identical)."""
+    return [
+        ((derive_seed(f"ivf-centroid-{i}-{j}") % 2001) - 1000) / 1000.0
+        for j in range(DIM)
+    ]
+
+
+CENTROIDS = [_centroid(i) for i in range(N_CENTROIDS)]
+
+
+def ivf_assign(emb: Column) -> Column:
+    """IVF coarse quantization: argmax centroid dot product, deterministic
+    tie-break by centroid index (greatest + coalesce(case...))."""
+    dots = [_dot(emb, c) for c in CENTROIDS]
+    best = F.greatest(*dots)
+    return F.coalesce(*[F.when(d == best, F.lit(i)) for i, d in enumerate(dots)])
+
+
+def ivf_assign_sql(expr: str) -> str:
+    dots = [_dot_sql(expr, c) for c in CENTROIDS]
+    named = ", ".join(f"{d} as d{i}" for i, d in enumerate(dots))
+    best = "greatest(" + ", ".join(f"d{i}" for i in range(N_CENTROIDS)) + ")"
+    pick = "coalesce(" + ", ".join(
+        f"case when d{i} = {best} then {i} end" for i in range(N_CENTROIDS)
+    ) + ")"
+    return named, pick
+
+
+def ivf_lists(emb_df: DataFrame) -> DataFrame:
+    """embeddings → (vec_id, list_id): the IVF inverted-list assignment."""
+    return emb_df.select(
+        "vec_id", ivf_assign(F.col("embedding")).cast("int").alias("list_id")
+    )
+
+
+def ann_ivf_topk(emb_df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """IVF ANN: probe only the query's coarse list (nprobe=1), brute-force
+    cosine within it. The scale path's other half next to SRP-LSH."""
+    with_l = emb_df.select(
+        "vec_id", "embedding", ivf_assign(F.col("embedding")).cast("int").alias("list_id")
+    )
+    q = with_l.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "list_id"
+    )
+    cand = F.broadcast(q).join(with_l, "list_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_neardup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same SRP bucket AND cosine ≥
     threshold — the embedding tier of the dedup suite (exact / MinHash /

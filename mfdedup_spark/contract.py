@@ -320,6 +320,22 @@ def q_ann_lsh_topk(spark, sf_dir):
     return annops.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), 10, 5)
 
 
+def q_ivf_lists(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    return (
+        annops.ivf_lists(_t(spark, sf_dir, "embeddings"))
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    return annops.ann_ivf_topk(_t(spark, sf_dir, "embeddings"), 10, 5)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from mfdedup_spark import annops
 
@@ -656,6 +672,42 @@ def _srp_hist_sql() -> str:
     )
 
 
+def _ivf_cte() -> str:
+    from mfdedup_spark import annops
+
+    named, pick = annops.ivf_assign_sql("embedding")
+    return (
+        f"with dots as (select vec_id, embedding, {named} from embeddings), "
+        f"wl as (select vec_id, embedding, cast({pick} as int) as list_id from dots)"
+    )
+
+
+def _ivf_lists_sql() -> str:
+    return _ivf_cte() + " select list_id, count(*) as n from wl group by 1"
+
+
+def _ann_ivf_sql() -> str:
+    from mfdedup_spark import annops
+
+    cos = annops.cosine_sql("q.qe", "e.embedding")
+    return _ivf_cte() + f""",
+        q as (select vec_id as query_id, embedding as qe, list_id
+              from wl where vec_id < 10),
+        scored as (
+          select q.query_id, e.vec_id as neighbor_id, round({cos}, 6) as cosine
+          from q join wl e on e.list_id = q.list_id and e.vec_id != q.query_id
+        )
+        select query_id, neighbor_id, rank, cosine from (
+          select query_id, neighbor_id, cosine,
+                 row_number() over (partition by query_id
+                                    order by cosine desc, neighbor_id) as rank
+          from scored
+        ) where rank <= 5
+    """
+
+
+ORACLE_SQL["ivf_lists"] = _ivf_lists_sql()
+ORACLE_SQL["ann_ivf_topk"] = _ann_ivf_sql()
 ORACLE_SQL["simhash_docs"] = textops.doc_simhash_sql()
 ORACLE_SQL["simhash_band_pairs_docs"] = _simhash_pairs_sql()
 ORACLE_SQL["srp_bucket_hist"] = _srp_hist_sql()
@@ -669,6 +721,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_substring_docs": q_caption_substring_docs,
     "srp_bucket_hist": q_srp_bucket_hist,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_lists": q_ivf_lists,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_bands_docs": q_minhash_bands_docs,
