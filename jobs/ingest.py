@@ -71,21 +71,27 @@ def main() -> None:
         sig = compute_signatures(images, sig_cfg)
         classify(sig, None).write.format("noop").mode("overwrite").save()
 
+    def run_dedup(df) -> None:
+        from mfdedup_spark.plans.pipeline import dedup_images
+
+        res = dedup_images(df, sig_cfg)
+        res["clusters"].write.format("noop").mode("overwrite").save()
+        res["signatures"].unpersist()
+
+    # steady-state measurement: one untimed pass warms the OS page cache,
+    # JVM JIT, and python workers (identical at every parallelism level,
+    # like cluster warmup)
     if args.mode == "signatures":
-        # steady-state measurement: one untimed pass warms the OS page
-        # cache, JVM JIT, and python workers (identical at every
-        # parallelism level, like cluster warmup)
         run_signatures()
+    elif args.mode == "dedup":
+        run_dedup(images)
 
     t0 = time.time()
     if args.mode == "signatures":
         run_signatures()
     elif args.mode == "dedup":
-        from mfdedup_spark.plans.pipeline import dedup_images
-
-        res = dedup_images(images, sig_cfg)
-        res["clusters"].write.format("noop").mode("overwrite").save()
-    else:
+        run_dedup(images)
+    elif args.mode == "ingest":
         from mfdedup_spark.plans.ingest import ingest_series
         from mfdedup_spark.store import DedupStore
 

@@ -108,7 +108,8 @@ def main() -> int:
     eff_med = (med[lo] / med[hi]) / (hi / lo)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    report = os.path.join(REPO, "BENCH", "BASELINE.md")
+    suffix = "" if args.mode == "signatures" else f"_{args.mode}"
+    report = os.path.join(REPO, "BENCH", f"BASELINE{suffix}.md")
     with open(report, "w") as f:
         f.write(f"""# Scaling evidence — {args.mode} job, N={args.n} images
 
