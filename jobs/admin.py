@@ -53,6 +53,17 @@ def main() -> None:
         lineage = store.read_lineage()
         if lineage is not None:
             out["lineage_rows"] = lineage.count()
+        # per-stage durations (reference: getStatistics(), main.cpp:151-155)
+        stats = store.read_stage_stats()
+        if stats is not None:
+            from pyspark.sql import functions as F
+
+            out["stage_seconds"] = {
+                r["stage"]: round(r["s"], 3)
+                for r in stats.groupBy("stage")
+                .agg(F.sum("seconds").alias("s"))
+                .collect()
+            }
         print(json.dumps(out))
     elif args.task == "restore":
         from mfdedup_spark.plans.restore import restore_version

@@ -76,7 +76,9 @@ def byte_shingles(
 
     The content-defined-chunking analogue (ChunkingPipeline.h:64-159):
     position-independent content windows, a k-byte window read as a
-    big-endian integer then mixed; duplicates dropped (set semantics).
+    LITTLE-endian integer then mixed; duplicates dropped (set semantics).
+    Byte order is pinned explicitly (the k==8 fast path asserts it) so
+    signatures are identical across architectures.
 
     Sampling: keep shingles whose mixed hash < 2^64 / 2^sample_bits —
     the FastCDC mask rule (`fp & mask == 0`, ChunkingPipeline.h:70-79)
@@ -92,14 +94,18 @@ def byte_shingles(
         a = np.pad(a, (0, k - len(a)))
     if k == 8:
         # zero-copy: unaligned byte-strided uint64 view — each window read
-        # as one (little-endian) machine word instead of an (n,8) expansion
+        # as one little-endian machine word instead of an (n,8) expansion.
+        # Little-endian only (x86/arm64); byteswap would be needed on BE.
+        assert np.little_endian, "byte_shingles fast path requires LE host"
         h = np.ndarray(
             buffer=a, dtype=U64, shape=(len(a) - 7,), strides=(1,)
         )
     else:
+        # generic path builds the SAME little-endian value as the k==8
+        # word view: byte j of the window lands at bit 8·j
         win = np.lib.stride_tricks.sliding_window_view(a, k).astype(U64)
         h = np.zeros(len(win), dtype=U64)
-        for j in range(k):
+        for j in reversed(range(k)):
             h = (h << U64(8)) | win[:, j]
     hm = splitmix64(h ^ seed)
     if sample_bits <= 0:

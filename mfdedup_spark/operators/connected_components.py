@@ -67,8 +67,22 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         fp = fingerprint(new_labels)
-        labels = new_labels
         if fp == prev_fp:
-            break
+            # the fingerprint is a 64-bit hash — confirm convergence with
+            # an EXACT changed-label count before trusting it (a collision
+            # would otherwise silently return unconverged labels). This
+            # join runs once per converged call, not per iteration.
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "image_id")
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            if changed == 0:
+                return new_labels
+        labels = new_labels
         prev_fp = fp
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(component diameter exceeds max_iter — raise max_iter)"
+    )

@@ -50,17 +50,30 @@ def anchor_star_pairs(
     key_cols: list[str] = ("space", "band", "bucket"),
     id_col: str = "image_id",
 ) -> tuple[DataFrame, DataFrame]:
+    """Salted, capped anchor-star pair generator at the engine's
+    SignatureConfig (cap + salt fan-out from config)."""
+    return capped_pairs(
+        exploded, cfg.bucket_cap, cfg.salt_buckets, key_cols, id_col
+    )
+
+
+def capped_pairs(
+    exploded: DataFrame,
+    cap: int,
+    salt_buckets: int,
+    key_cols: list[str] = ("space", "band", "bucket"),
+    id_col: str = "image_id",
+) -> tuple[DataFrame, DataFrame]:
     """Generic salted, capped anchor-star pair generator.
 
     Returns (pairs, bucket_stats):
-    pairs(image_id_a < image_id_b) distinct;
-    bucket_stats(space, band, bucket, members, kept, dropped) for buckets
-    that overflowed the cap (the mandated drop log).
+    pairs({id_col}_a < {id_col}_b) distinct;
+    bucket_stats(*key_cols, members, kept, dropped) for buckets that
+    overflowed the cap (the mandated drop log).
     """
     keys = list(key_cols)
-    cap = cfg.bucket_cap
     salted = exploded.withColumn(
-        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(cfg.salt_buckets))
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     )
     w1 = Window.partitionBy(*keys, "salt").orderBy(id_col)
     lvl1 = (
@@ -77,11 +90,11 @@ def anchor_star_pairs(
         *keys,
         F.col(id_col),
         F.row_number().over(w2).alias("rn"),
-        F.first(id_col).over(w2row).alias("image_id_a"),
+        F.first(id_col).over(w2row).alias(f"{id_col}_a"),
     )
     pairs = (
         ranked.where((F.col("rn") > 1) & (F.col("rn") <= cap))
-        .select("image_id_a", F.col(id_col).alias("image_id_b"))
+        .select(f"{id_col}_a", F.col(id_col).alias(f"{id_col}_b"))
         .distinct()
     )
 

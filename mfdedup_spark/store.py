@@ -36,6 +36,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class DedupStore:
@@ -95,6 +96,26 @@ class DedupStore:
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").parquet(target)
+
+    def write_partitions(
+        self, df: DataFrame, table: str, key: str, sort_cols=None
+    ) -> None:
+        """Multi-partition overwrite in ONE Spark job: dynamic partition
+        overwrite (Iceberg's overwrite-by-filter analogue) replaces exactly
+        the partitions present in ``df`` and leaves the rest of the table
+        untouched. ``sort_cols`` keeps the NDF-locality layout per file —
+        tasks are NOT repartitioned by ``key`` (that would serialize each
+        category onto one task); each task writes its own slice of every
+        category it holds, sorted by (key, sort_cols)."""
+        out = df
+        if sort_cols:
+            out = out.sortWithinPartitions(F.col(key), *sort_cols)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key)
+            .parquet(self.path(table))
+        )
 
     def read_partitions(self, table: str, key: str, values: list) -> DataFrame | None:
         paths = [
@@ -176,3 +197,38 @@ class DedupStore:
         if not self.exists("lineage"):
             return None
         return self.read("lineage")
+
+    # ---------------------------------------------------------- stage stats
+    def append_stage_stats(self, version: int, rows: list[dict]) -> None:
+        """Per-stage wall-clock durations for one ingest — the analogue of
+        the reference's getStatistics() printout (main.cpp:151-155),
+        persisted so ``status`` and the bench can read them back."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not rows:
+            return
+        os.makedirs(self.path("stage_stats"), exist_ok=True)
+        df = pd.DataFrame(rows)
+        df["version"] = version
+        schema = pa.schema(
+            [
+                ("stage", pa.string()),
+                ("seconds", pa.float64()),
+                ("version", pa.int32()),
+            ]
+        )
+        fname = os.path.join(
+            self.path("stage_stats"), f"stats-{time.time_ns()}.parquet"
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df[["stage", "seconds", "version"]], schema=schema,
+                                 preserve_index=False),
+            fname,
+        )
+
+    def read_stage_stats(self) -> DataFrame | None:
+        if not self.exists("stage_stats"):
+            return None
+        return self.read("stage_stats")

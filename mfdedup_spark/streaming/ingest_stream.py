@@ -41,6 +41,7 @@ def stream_ingest(
     source_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int = 4,
 ):
     """Watch ``source_dir`` for image-version parquet files and ingest
     each complete version through the batch NDF path. Returns the started
@@ -52,25 +53,64 @@ def stream_ingest(
     manifest-skipped on redelivery). Producers writing multi-file versions
     must land them under a staging name and atomically rename the single
     merged file in.
+
+    Out-of-order arrivals: the file source does NOT deliver files in
+    version order (discovery order ≠ version order, and maxFilesPerTrigger
+    splits a backlog across micro-batches). Every arriving version is
+    staged under ``pending_versions/version=v`` and each micro-batch then
+    drains the pending set strictly in manifest order — a version that
+    arrives early simply waits for its predecessor instead of killing the
+    query (ingest_version raises OutOfOrderVersionError; round-1 used a
+    bare assert, see ADVICE r01). Staging + drain are both idempotent:
+    re-delivered files overwrite the same pending partition, and versions
+    ≤ total_version are dropped on drain via the manifest skip.
     """
     from mfdedup_spark.plans.ingest import ingest_version
 
     stream = (
         spark.readStream.schema(IMAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    pending_root = store.path("pending_versions")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        batch_df = batch_df.persist()
         versions = [
             r["version"]
             for r in batch_df.select("version").distinct().orderBy("version").collect()
         ]
+        # stage every arrival (idempotent partition overwrite)
         for v in versions:
+            batch_df.where(F.col("version") == v).write.mode("overwrite").parquet(
+                os.path.join(pending_root, f"version={v}")
+            )
+        batch_df.unpersist()
+        # drain in order: ingest total_version+1 while it is pending; drop
+        # stale (≤ total_version) stagings
+        while os.path.exists(pending_root):
+            manifest = store.read_manifest()
+            total = manifest["total_version"]
+            pend = sorted(
+                int(e.split("=", 1)[1])
+                for e in os.listdir(pending_root)
+                if e.startswith("version=")
+            )
+            stale = [v for v in pend if v <= total]
+            for v in stale:
+                shutil.rmtree(os.path.join(pending_root, f"version={v}"))
+            nxt = total + 1
+            if nxt not in pend:
+                break
+            pdir = os.path.join(pending_root, f"version={nxt}")
             ingest_version(
-                store, batch_df.where(F.col("version") == v), cfg,
+                store, spark.read.schema(IMAGES_SCHEMA).parquet(pdir), cfg,
                 apply_arrangement=True,
             )
+            shutil.rmtree(pdir)
 
     writer = (
         stream.writeStream.foreachBatch(process)

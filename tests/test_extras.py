@@ -149,3 +149,61 @@ def test_phash_integrity_flag(spark, tmp_path):
     sig = compute_signatures(spark.read.parquet(p), SignatureConfig()).toPandas()
     flagged = set(sig.loc[~sig["phash_ok"], "image_id"])
     assert flagged == {bad_id}
+
+
+def test_streaming_out_of_order_versions(spark, tmp_path):
+    """Version files discovered out of order across micro-batches must not
+    kill the query (ADVICE r01): early arrivals wait in pending_versions
+    and drain once their predecessor commits."""
+    import time
+
+    from mfdedup_spark.config import EngineConfig
+    from mfdedup_spark.fixtures import generate_versioned
+    from mfdedup_spark.store import DedupStore
+    from mfdedup_spark.streaming.ingest_stream import stream_ingest
+
+    pdf = generate_versioned(n_images=30, versions=3, seed=7)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    # land v3 and v2 BEFORE v1 (older mtimes → discovered first), one file
+    # per micro-batch so ordering actually spans batches
+    for v in (3, 2, 1):
+        write_parquet(pdf[pdf["version"] == v], str(src / f"v{v}.parquet"))
+        time.sleep(1.1)  # distinct mtimes for the file source's ordering
+
+    store = DedupStore(spark, str(tmp_path / "wh"))
+    q = stream_ingest(
+        spark, store, EngineConfig(), str(src), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(timeout=300)
+    assert store.read_manifest()["total_version"] == 3
+    cl = store.read_table("classification")
+    for v in (1, 2, 3):
+        assert cl.where(F.col("version") == v).count() == len(
+            pdf[pdf["version"] == v]
+        )
+    # pending staging fully drained
+    import os
+    pend = store.path("pending_versions")
+    assert not os.path.exists(pend) or not os.listdir(pend)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A component chain longer than max_iter must raise, not silently
+    return unconverged labels (ADVICE r01)."""
+    from mfdedup_spark.operators.connected_components import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(n)],
+        "image_id_a string, image_id_b string",
+    )
+    vertices = spark.createDataFrame(
+        [(f"v{i:02d}",) for i in range(n + 1)], "image_id string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, vertices, max_iter=3)
+    # with enough iterations the same chain converges to one cluster
+    out = connected_components(pairs, vertices, max_iter=n + 2).collect()
+    assert {r["cluster_id"] for r in out} == {"v00"}

@@ -200,6 +200,95 @@ def test_fall_behind_then_catchup(spark, series, tmp_path_factory):
         assert stats["rows"] == len(pdf[pdf["version"] == v])
 
 
+def test_restore_per_copy_caption(spark, tmp_path_factory):
+    """Two records with IDENTICAL bytes but DIFFERENT captions: payload is
+    deduplicated by fp, but restore must return each record's OWN caption
+    (recipes carry per-copy metadata — ADVICE r01 medium)."""
+    pdf = generate_versioned(n_images=8, versions=1, seed=9)
+    base = pdf.iloc[0]
+    twin = base.copy()
+    twin["image_id"] = "caption-twin"
+    twin["caption"] = base["caption"] + " but annotated differently"
+    twin["seq_no"] = int(pdf["seq_no"].max()) + 1
+    pdf = pd.concat([pdf, twin.to_frame().T], ignore_index=True)
+    p = tmp_path_factory.mktemp("twin") / "images.parquet"
+    write_parquet(pdf, str(p))
+
+    store = DedupStore(spark, str(tmp_path_factory.mktemp("wh_twin")))
+    ingest_version(store, spark.read.parquet(str(p)), CFG)
+    restored, stats = restore_version(store, 1)
+    got = restored.toPandas().set_index("image_id")
+    assert got.loc["caption-twin", "caption"] == twin["caption"]
+    assert got.loc[base["image_id"], "caption"] == base["caption"]
+    assert bytes(got.loc["caption-twin", "bytes"]) == bytes(base["bytes"])
+    # payload stored once: the twin classified INTERNAL, not UNIQUE
+    cl = store.read_table("classification").toPandas().set_index("image_id")
+    assert cl.loc["caption-twin", "result"] == "INTERNAL"
+
+
+def test_restore_pool_fp_unique(ingested):
+    """The store invariant that lets restore skip dropDuplicates(fp):
+    after pruning (first_version <= v, archive_version >= v) every fp
+    appears exactly once in the pool."""
+    from mfdedup_spark.plans.restore import chunk_pool
+
+    store, pdf, _ = ingested
+    for v in (1, 2, 3):
+        pool, _ = chunk_pool(store, v)
+        assert pool.count() == pool.select("fp").distinct().count(), v
+
+
+def test_recipe_offsets_two_phase(spark):
+    """The sharded prefix sum equals the sequential one across shard
+    boundaries (scale-safe replacement for the round-1 global window)."""
+    from mfdedup_spark.plans.restore import recipe_offsets
+
+    lens = [(i, (i * 37) % 11 + 1) for i in range(1000)]
+    df = spark.createDataFrame(lens, "seq_no long, length long")
+    got = {
+        r["seq_no"]: r["offset"]
+        for r in recipe_offsets(df, shard_rows=64).collect()
+    }
+    acc = 0
+    for i, ln in lens:
+        assert got[i] == acc, i
+        acc += ln
+
+
+def test_arrange_constant_jobs(spark, tmp_path_factory):
+    """arrange() runs O(1) Spark jobs regardless of how many categories
+    are live (round-1 looped one write+count+agg per category)."""
+    from mfdedup_spark.plans.ingest import arrange
+
+    pdf = generate_versioned(n_images=40, versions=5, seed=11)
+    p = tmp_path_factory.mktemp("fb5") / "images.parquet"
+    write_parquet(pdf, str(p))
+    store = DedupStore(spark, str(tmp_path_factory.mktemp("wh_fb5")))
+    images = spark.read.parquet(str(p))
+    for v in range(1, 6):
+        ingest_version(
+            store, images.where(F.col("version") == v), CFG,
+            apply_arrangement=False,
+        )
+    sc = spark.sparkContext
+    sc.setJobGroup("arrange-count", "arrange job-count test")
+    try:
+        arrange(store, 5)
+    finally:
+        sc.setJobGroup("", "")
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("arrange-count"))
+    # 4 queries (write active + lineage agg + archived agg + archived
+    # write), each fanning into a few AQE stage-jobs — a CONSTANT ~14
+    # regardless of live-category count; the round-1 per-category loop ran
+    # ~3 queries per category (4 cats here → ~26+ jobs, growing linearly)
+    assert 0 < n_jobs <= 15, n_jobs
+    # catch-up worked: all 4 old categories migrated in one pass
+    assert store.list_partitions("chunk_store", "category") == [11, 12, 13, 14, 15]
+    for v in range(1, 6):
+        _, stats = restore_version(store, v)
+        assert stats["rows"] == len(pdf[pdf["version"] == v])
+
+
 def test_ingest_with_clusters(spark, series, tmp_path_factory):
     """Clusters written per version match the oracle's per-version
     clustering (same signature config, union of LSH + caption pairs)."""
