@@ -304,6 +304,52 @@ def q_caption_substring_docs(spark, sf_dir):
     return textops.doc_caption_substring_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_lsh_pairs_docs_capped(spark, sf_dir):
+    return textops.doc_lsh_pairs_capped(_t(spark, sf_dir, "documents"))[0]
+
+
+def q_simhash_pairs_docs_capped(spark, sf_dir):
+    return textops.doc_simhash_band_pairs_capped(_t(spark, sf_dir, "documents"))[0]
+
+
+def q_caption_substring_docs_capped(spark, sf_dir):
+    return textops.doc_caption_substring_pairs_capped(
+        _t(spark, sf_dir, "documents")
+    )[0]
+
+
+def q_embedding_neardup_capped(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    # threshold 0.2 (vs 0.4 on the uncapped twin): the sf0.01 vectors are
+    # near-orthogonal, and the capped anchor-star pair set needs a looser
+    # cut to be non-empty — an empty result would make the oracle check
+    # trivially true
+    return annops.embedding_neardup_pairs_capped(
+        _t(spark, sf_dir, "embeddings"), 0.2
+    )[0]
+
+
+def _capped_star_sql(rows_cte: str, key: str, id_col: str, cap: int) -> str:
+    """SQL twin of operators.lsh.capped_pairs: per bucket, the first
+    ``cap`` ids (sorted) participate and edges go (anchor=min → member).
+    The Spark side computes the same prefix in two salted levels — the
+    union of per-salt prefixes is a superset of the global prefix, so the
+    results are identical (proven by test_hot_bucket_cap_parity)."""
+    return f"""
+        ranked as (
+          select {key}, {id_col},
+                 row_number() over (partition by {key} order by {id_col}) as rn,
+                 min({id_col}) over (partition by {key}) as anchor
+          from {rows_cte}
+        ),
+        cpairs as (
+          select distinct anchor as {id_col}_a, {id_col} as {id_col}_b
+          from ranked where rn > 1 and rn <= {cap}
+        )
+    """
+
+
 def q_srp_bucket_hist(spark, sf_dir):
     from mfdedup_spark import annops
 
@@ -706,6 +752,75 @@ def _ann_ivf_sql() -> str:
     """
 
 
+def _lsh_pairs_capped_sql() -> str:
+    from mfdedup_spark.textops import DOC_PAIR_CAP
+
+    return (
+        _bands_cte()
+        + ","
+        + _capped_star_sql("bands", "band, bucket", "doc_id", DOC_PAIR_CAP)
+        + "select doc_id_a, doc_id_b from cpairs"
+    )
+
+
+def _simhash_pairs_capped_sql() -> str:
+    from mfdedup_spark.textops import DOC_PAIR_CAP
+
+    sim_cte = textops.doc_simhash_sql().strip()
+    return f"""
+        with sim as ({sim_cte}),
+        bands as (
+          select doc_id, b.band, (simhash >> (b.band * 15)) & 32767 as bucket
+          from sim, (select unnest(range(4)) as band) b
+        ),
+        {_capped_star_sql("bands", "band, bucket", "doc_id", DOC_PAIR_CAP)}
+        select p.doc_id_a, p.doc_id_b,
+               bit_count(xor(a.simhash, b.simhash)) as hamming
+        from cpairs p
+        join sim a on a.doc_id = p.doc_id_a
+        join sim b on b.doc_id = p.doc_id_b
+        where bit_count(xor(a.simhash, b.simhash)) <= 8
+    """
+
+
+def _caption_capped_sql() -> str:
+    from mfdedup_spark.textops import DOC_PAIR_CAP
+
+    return f"""
+        with grams as (
+          select doc_id, unnest(list_distinct({gram_hashes_sql('text')})) as g
+          from documents
+        ),
+        {_capped_star_sql("grams", "g", "doc_id", DOC_PAIR_CAP)}
+        select p.doc_id_a, p.doc_id_b
+        from cpairs p
+        join documents a on a.doc_id = p.doc_id_a
+        join documents b on b.doc_id = p.doc_id_b
+        where a.text != b.text
+          and (contains(b.text, a.text) or contains(a.text, b.text))
+    """
+
+
+def _embedding_neardup_capped_sql() -> str:
+    from mfdedup_spark import annops
+
+    bsql = annops.srp_bucket_sql("embedding")
+    cos = annops.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+        with wb as (select vec_id, {bsql} as bucket from embeddings),
+        {_capped_star_sql("wb", "bucket", "vec_id", 4)}
+        select p.vec_id_a, p.vec_id_b, round({cos}, 6) as cosine
+        from cpairs p
+        join embeddings a on a.vec_id = p.vec_id_a
+        join embeddings b on b.vec_id = p.vec_id_b
+        where round({cos}, 6) >= 0.2
+    """
+
+
+ORACLE_SQL["lsh_pairs_docs_capped"] = _lsh_pairs_capped_sql()
+ORACLE_SQL["simhash_pairs_docs_capped"] = _simhash_pairs_capped_sql()
+ORACLE_SQL["caption_substring_docs_capped"] = _caption_capped_sql()
+ORACLE_SQL["embedding_neardup_capped"] = _embedding_neardup_capped_sql()
 ORACLE_SQL["ivf_lists"] = _ivf_lists_sql()
 ORACLE_SQL["ann_ivf_topk"] = _ann_ivf_sql()
 ORACLE_SQL["simhash_docs"] = textops.doc_simhash_sql()
@@ -727,6 +842,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_bands_docs": q_minhash_bands_docs,
     "lsh_pairs_docs": q_lsh_pairs_docs,
+    "lsh_pairs_docs_capped": q_lsh_pairs_docs_capped,
+    "simhash_pairs_docs_capped": q_simhash_pairs_docs_capped,
+    "caption_substring_docs_capped": q_caption_substring_docs_capped,
+    "embedding_neardup_capped": q_embedding_neardup_capped,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "ndf_classification_events": q_ndf_classification_events,
     "dedup_metrics_events": q_dedup_metrics_events,

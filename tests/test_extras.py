@@ -207,3 +207,32 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # with enough iterations the same chain converges to one cluster
     out = connected_components(pairs, vertices, max_iter=n + 2).collect()
     assert {r["cluster_id"] for r in out} == {"v00"}
+
+
+def test_capped_doc_pairs_subset_and_droplog(spark):
+    """The capped anchor-star doc pair generators emit a subset of the
+    id-universe with bounded per-bucket work and log what they dropped."""
+    from mfdedup_spark.fixtures import _vocab  # deterministic word pool
+
+    rng = np.random.default_rng(3)
+    vocab = _vocab(rng)
+    # one hot cluster (30 docs sharing most grams → buckets way over cap)
+    # plus unique docs
+    base = " ".join(rng.choice(vocab, 40))
+    rows = [(i, base + f" tail{i}") for i in range(30)]
+    rows += [(100 + i, " ".join(rng.choice(vocab, 30))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs, stats = textops.doc_lsh_pairs_capped(docs, cap=4, salt=4)
+    got = pairs.collect()
+    assert got, "hot cluster must produce capped pairs"
+    # anchor-star: every pair's left side is the bucket anchor (min id)
+    assert all(r["doc_id_a"] < r["doc_id_b"] for r in got)
+    # per-bucket emission is bounded by cap-1 edges
+    full = textops.doc_lsh_pairs(docs)
+    assert pairs.count() <= full.count()
+    log = stats.collect()
+    assert log and all(r["dropped"] == r["members"] - 4 for r in log)
+    # the hot cluster produced a bucket far above the cap (not all 30
+    # docs share every band — MinHash perturbs a few)
+    assert max(r["members"] for r in log) >= 20
