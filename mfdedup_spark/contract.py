@@ -382,6 +382,30 @@ def q_ann_ivf_topk(spark, sf_dir):
     return annops.ann_ivf_topk(_t(spark, sf_dir, "embeddings"), 10, 5)
 
 
+def q_ivf_lists_trained(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    return (
+        annops.ivf_lists_trained(_t(spark, sf_dir, "embeddings"), k=16)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_ann_ivf_topk_trained(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    return annops.ann_ivf_topk_trained(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, topk=5, k=16, nprobe=2
+    )
+
+
+def q_ann_lsh_topk_multiprobe(spark, sf_dir):
+    from mfdedup_spark import annops
+
+    return annops.ann_lsh_topk_multiprobe(_t(spark, sf_dir, "embeddings"), 10, 5)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from mfdedup_spark import annops
 
@@ -817,6 +841,139 @@ def _embedding_neardup_capped_sql() -> str:
     """
 
 
+def _ivf_trained_cte(k: int = 16) -> str:
+    """CTE chain computing the SAME integer k-means the Spark side trains
+    (annops.ivf_train: md5-ranked seeds, one Lloyd round over quantized
+    vectors, floor-mean centroids, empty lists keep their seed): ends with
+    ``lists(vec_id, list_id)`` and ``cent2(sid, cv)``. All arithmetic is
+    int64 (sums < 2^53, so the division is exact in both engines)."""
+    from mfdedup_spark import annops
+
+    qz = annops.quantize_sql("embedding")
+    h = "('0x'||substr(md5(cast(vec_id as varchar)),1,15))::bigint"
+    sqd = (
+        "list_reduce(list_prepend(cast(0 as bigint), "
+        "list_transform(range(1, 65), "
+        "i -> (q.qv[i] - {c}[i]) * (q.qv[i] - {c}[i]))), (a, b) -> a + b)"
+    )
+    return f"""
+with q as (select vec_id, {qz} as qv from embeddings),
+seeds as (
+  select row_number() over (order by {h}, vec_id) - 1 as sid, qv
+  from (select vec_id, qv from q order by {h}, vec_id limit {k})
+),
+d1 as (
+  select q.vec_id, q.qv, s.sid, {sqd.format(c='s.qv')} as dist
+  from q cross join seeds s
+),
+a1 as (
+  select vec_id, qv, sid from (
+    select vec_id, qv, sid,
+           row_number() over (partition by vec_id order by dist, sid) as rn
+    from d1
+  ) where rn = 1
+),
+means as (
+  select sid, r.range as j,
+         cast(floor(sum(qv[r.range]) * 1.0 / count(*)) as bigint) as c
+  from a1 cross join range(1, 65) r
+  group by sid, r.range
+),
+cent as (select sid, list(c order by j) as cv from means group by sid),
+cent2 as (
+  select s.sid, coalesce(c.cv, s.qv) as cv
+  from seeds s left join cent c on c.sid = s.sid
+),
+d2 as (
+  select q.vec_id, c.sid, {sqd.format(c='c.cv')} as dist
+  from q cross join cent2 c
+),
+lists as (
+  select vec_id, sid as list_id from (
+    select vec_id, sid,
+           row_number() over (partition by vec_id order by dist, sid) as rn
+    from d2
+  ) where rn = 1
+)
+"""
+
+
+def _ivf_lists_trained_sql() -> str:
+    return (
+        _ivf_trained_cte()
+        + " select cast(list_id as int) as list_id, count(*) as n"
+        " from lists group by 1"
+    )
+
+
+def _ann_ivf_trained_sql(nprobe: int = 2) -> str:
+    from mfdedup_spark import annops
+
+    cos = annops.cosine_sql("p.qe", "e.embedding")
+    return _ivf_trained_cte() + f""",
+qd as (
+  select q2.vec_id as query_id, c.sid,
+         {("list_reduce(list_prepend(cast(0 as bigint), "
+           "list_transform(range(1, 65), "
+           "i -> (q2.qv[i] - c.cv[i]) * (q2.qv[i] - c.cv[i]))), (a, b) -> a + b)")} as dist
+  from (select vec_id, qv from q where vec_id < 10) q2 cross join cent2 c
+),
+probes as (
+  select query_id, sid as list_id from (
+    select query_id, sid,
+           row_number() over (partition by query_id order by dist, sid) as rn
+    from qd
+  ) where rn <= {nprobe}
+),
+pq as (
+  select p.query_id, p.list_id, e.embedding as qe
+  from probes p join embeddings e on e.vec_id = p.query_id
+),
+scored as (
+  select p.query_id, l.vec_id as neighbor_id, round({cos}, 6) as cosine
+  from pq p
+  join lists l on l.list_id = p.list_id and l.vec_id != p.query_id
+  join embeddings e on e.vec_id = l.vec_id
+)
+select query_id, neighbor_id, rank, cosine from (
+  select query_id, neighbor_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, neighbor_id) as rank
+  from scored
+) where rank <= 5
+"""
+
+
+def _ann_multiprobe_sql() -> str:
+    from mfdedup_spark import annops
+
+    bsql = annops.srp_bucket_sql("embedding")
+    cos = annops.cosine_sql("p.qe", "e.embedding")
+    flips = ", ".join(f"xor(bucket, {1 << i})" for i in range(annops.N_PLANES))
+    return f"""
+        with wb as (select vec_id, embedding, {bsql} as bucket from embeddings),
+        q as (select vec_id as query_id, embedding as qe, bucket
+              from wb where vec_id < 10),
+        probes as (
+          select query_id, qe, unnest([bucket, {flips}]) as bucket from q
+        ),
+        scored as (
+          select p.query_id, e.vec_id as neighbor_id, round({cos}, 6) as cosine
+          from probes p
+          join wb e on e.bucket = p.bucket and e.vec_id != p.query_id
+        )
+        select query_id, neighbor_id, rank, cosine from (
+          select query_id, neighbor_id, cosine,
+                 row_number() over (partition by query_id
+                                    order by cosine desc, neighbor_id) as rank
+          from scored
+        ) where rank <= 5
+    """
+
+
+ORACLE_SQL["ivf_lists_trained"] = _ivf_lists_trained_sql()
+ORACLE_SQL["ann_ivf_topk_trained"] = _ann_ivf_trained_sql()
+ORACLE_SQL["ann_lsh_topk_multiprobe"] = _ann_multiprobe_sql()
 ORACLE_SQL["lsh_pairs_docs_capped"] = _lsh_pairs_capped_sql()
 ORACLE_SQL["simhash_pairs_docs_capped"] = _simhash_pairs_capped_sql()
 ORACLE_SQL["caption_substring_docs_capped"] = _caption_capped_sql()
@@ -838,6 +995,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_lists": q_ivf_lists,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ivf_lists_trained": q_ivf_lists_trained,
+    "ann_ivf_topk_trained": q_ann_ivf_topk_trained,
+    "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
     "embedding_neardup": q_embedding_neardup,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_bands_docs": q_minhash_bands_docs,

@@ -236,3 +236,48 @@ def test_capped_doc_pairs_subset_and_droplog(spark):
     # the hot cluster produced a bucket far above the cap (not all 30
     # docs share every band — MinHash perturbs a few)
     assert max(r["members"] for r in log) >= 20
+
+
+def test_ann_trained_recall(spark):
+    """Trained IVF (nprobe=2) must recover ≥0.9 of the brute-force top-5
+    on clusterable data, and multi-probe SRP must not lose recall vs
+    single-probe (the corpus-proportional scale path's quality gate)."""
+    from mfdedup_spark.annops import (
+        ann_ivf_topk_trained,
+        ann_lsh_topk,
+        ann_lsh_topk_multiprobe,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 64))
+    vecs = np.array(
+        [centers[i % 8] + 0.05 * rng.normal(size=64) for i in range(400)],
+        dtype=np.float32,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # brute-force ground truth (float64 over the float32-quantized values)
+    M = vecs.astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn[:10] @ Mn.T
+    truth = {}
+    for qid in range(10):
+        s = sims[qid].copy()
+        s[qid] = -2
+        truth[qid] = set(np.argsort(-s)[:5])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return np.mean([len(got.get(q, set()) & truth[q]) / 5 for q in range(10)])
+
+    r_ivf = recall(ann_ivf_topk_trained(emb, n_queries=10, topk=5, k=8, nprobe=2))
+    assert r_ivf >= 0.9, r_ivf
+    r_single = recall(ann_lsh_topk(emb, 10, 5))
+    r_multi = recall(ann_lsh_topk_multiprobe(emb, 10, 5))
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.9, r_multi
