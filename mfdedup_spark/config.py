@@ -35,6 +35,11 @@ class SignatureConfig:
 
     shingle_k: int = 8          # byte-shingle width; analogue of the
                                 # ExpectSize-bounded chunk (ChunkingPipeline.h:19-20)
+    shingle_method: str = "cdc" # --ChunkingMethod analogue (ChunkingPipeline.h:
+                                # 17-20): "cdc" (word-read + splitmix, FastCDC-
+                                # style sampling), "gear" (T2: shifted gear-table
+                                # rolling hash, Rabin analogue), "fixed" (T3:
+                                # non-overlapping stride-k windows)
     shingle_sample_bits: int = 4   # keep shingles whose mixed hash falls in the
                                    # lowest 2^-bits fraction (content-defined
                                    # sampling — the CDC mask idea, FastCDC's
@@ -59,6 +64,8 @@ class SignatureConfig:
 
     def __post_init__(self) -> None:
         assert self.lsh_bands * self.lsh_rows == self.num_perms
+        if self.shingle_method not in ("cdc", "gear", "fixed"):
+            raise ValueError(f"unknown shingle_method {self.shingle_method!r}")
 
 
 @dataclass(frozen=True)

@@ -255,6 +255,14 @@ def q_fingerprint_docs(spark, sf_dir):
     return textops.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_cdc_chunking_docs(spark, sf_dir):
+    return textops.doc_cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+def q_fixed_chunking_docs(spark, sf_dir):
+    return textops.doc_fixed_chunks(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.where("vec_id < 10").select(
@@ -971,6 +979,8 @@ def _ann_multiprobe_sql() -> str:
     """
 
 
+ORACLE_SQL["cdc_chunking_docs"] = textops.doc_cdc_chunks_sql()
+ORACLE_SQL["fixed_chunking_docs"] = textops.doc_fixed_chunks_sql()
 ORACLE_SQL["ivf_lists_trained"] = _ivf_lists_trained_sql()
 ORACLE_SQL["ann_ivf_topk_trained"] = _ann_ivf_trained_sql()
 ORACLE_SQL["ann_lsh_topk_multiprobe"] = _ann_multiprobe_sql()
@@ -1016,6 +1026,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "restore_prefix_sum": q_restore_prefix_sum,
     "restore_join_chunks": q_restore_join_chunks,
     "semi_anti_orders": q_semi_anti_orders,
+    "cdc_chunking_docs": q_cdc_chunking_docs,
+    "fixed_chunking_docs": q_fixed_chunking_docs,
     "token_stats_docs": q_token_stats_docs,
     "quality_scores_docs": q_quality_scores_docs,
     "lang_id_docs": q_lang_id_docs,

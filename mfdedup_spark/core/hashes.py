@@ -120,6 +120,102 @@ def byte_shingles(
     return u[: min(sample_min, len(u))]
 
 
+def _gear_table(seed: np.uint64) -> np.ndarray:
+    """256-entry seeded gear table — the Gear.h:14-30 analogue (there: MD5
+    of a repeated byte per entry; here: splitmix of seed+byte)."""
+    return splitmix64(np.arange(256, dtype=U64) + seed)
+
+
+_GEAR_CACHE: dict[int, np.ndarray] = {}
+
+
+def byte_shingles_gear(
+    data: bytes,
+    k: int,
+    seed: np.uint64,
+    sample_bits: int = 4,
+    sample_min: int = 256,
+) -> np.ndarray:
+    """T2 (Rabin/Gear) scheme: each k-byte window hashed with a true gear
+    rolling hash — h_i = Σ_j G[b_{i+j}] << (k-1-j) (mod 2^64), the shifted
+    table-lookup recurrence of /root/reference/RollHash/Gear.h:32-37 /
+    rabin_chunking.h:242-331, window-limited to k bytes — then the same
+    content-defined sampling as the cdc scheme. A genuinely different hash
+    family from the word-read+splitmix default: table lookups vs integer
+    mixing, so collisions/selection differ method-to-method."""
+    g = _GEAR_CACHE.get(int(seed))
+    if g is None:
+        g = _GEAR_CACHE[int(seed)] = _gear_table(seed)
+    a = np.frombuffer(data, dtype=np.uint8)
+    if len(a) < k:
+        a = np.pad(a, (0, k - len(a)))
+    gv = g[a]  # gear value per byte
+    n = len(a) - k + 1
+    h = np.zeros(n, dtype=U64)
+    for j in range(k):  # k strided adds — vectorized over all positions
+        h = (h << U64(1)) + gv[j : j + n]
+    return _sample_shingles(h, sample_bits, sample_min)
+
+
+def byte_shingles_fixed(
+    data: bytes,
+    k: int,
+    seed: np.uint64,
+    sample_bits: int = 4,
+    sample_min: int = 256,
+) -> np.ndarray:
+    """T3 (fixed) scheme: non-overlapping windows at stride k — the
+    degenerate fixed-offset chunking (ChunkingPipeline.h:303-389) applied
+    to sketching. The stride already thins the window set by k×, so the
+    hash-sampling mask is NOT applied (bottom-k floor semantics are kept
+    by returning the full unique set)."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    if len(a) < k:
+        a = np.pad(a, (0, k - len(a)))
+    n = (len(a) // k) * k
+    win = a[:n].reshape(-1, k).astype(U64)
+    h = np.zeros(len(win), dtype=U64)
+    for j in reversed(range(k)):  # same little-endian packing as cdc
+        h = (h << U64(8)) | win[:, j]
+    return np.unique(splitmix64(h ^ seed))
+
+
+def _sample_shingles(
+    hm: np.ndarray, sample_bits: int, sample_min: int
+) -> np.ndarray:
+    """Shared content-defined sampling (FastCDC mask rule applied to
+    sketch selection) — factored so every scheme samples identically."""
+    if sample_bits <= 0:
+        return np.unique(hm)
+    threshold = U64(1) << U64(64 - sample_bits)
+    u_sel = np.unique(hm[hm < threshold])
+    if len(u_sel) >= sample_min:
+        return u_sel
+    u = np.unique(hm)
+    return u[: min(sample_min, len(u))]
+
+
+SHINGLE_METHODS = {
+    "cdc": byte_shingles,
+    "gear": byte_shingles_gear,
+    "fixed": byte_shingles_fixed,
+}
+
+
+def shingles_for(data: bytes, cfg: SignatureConfig, tables: SignatureTables) -> np.ndarray:
+    """Method dispatch — the --ChunkingMethod switch
+    (/root/reference/DedupPipeline/ChunkingPipeline.h:17-20,29-37):
+    cfg.shingle_method selects cdc (default), gear (T2) or fixed (T3)."""
+    fn = SHINGLE_METHODS[cfg.shingle_method]
+    return fn(
+        data,
+        cfg.shingle_k,
+        tables.shingle_seed,
+        cfg.shingle_sample_bits,
+        cfg.shingle_sample_min,
+    )
+
+
 def minhash_signature(shingles: np.ndarray, tables: SignatureTables) -> np.ndarray:
     """64-perm MinHash over a shingle set → int64[num_perms].
 

@@ -26,10 +26,10 @@ from mfdedup_spark.config import SignatureConfig
 from mfdedup_spark.core import codecs
 from mfdedup_spark.core.hashes import (
     SignatureTables,
-    byte_shingles,
     lsh_band_buckets,
     minhash_signature,
     sha1_hex,
+    shingles_for,
     simhash64,
     simhash_bands,
 )
@@ -72,13 +72,7 @@ def compute_signatures(images: DataFrame, cfg: SignatureConfig) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 pixels = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
-                sh = byte_shingles(
-                    pixels.tobytes(),
-                    cfg.shingle_k,
-                    t.shingle_seed,
-                    cfg.shingle_sample_bits,
-                    cfg.shingle_sample_min,
-                )
+                sh = shingles_for(pixels.tobytes(), cfg, t)
                 mh = minhash_signature(sh, t)
                 sim = simhash64(sh, int(r.phash), t)
                 # integrity check: the stored pHash must match the decoded

@@ -29,7 +29,7 @@ from mfdedup_spark.config import SignatureConfig
 from mfdedup_spark.core import codecs
 from mfdedup_spark.core.hashes import (
     SignatureTables,
-    byte_shingles,
+    shingles_for,
     gram_hash,
     hamming64,
     lsh_band_buckets,
@@ -48,13 +48,7 @@ def compute_signatures(images: pd.DataFrame, cfg: SignatureConfig) -> pd.DataFra
     out = []
     for r in images.itertuples(index=False):
         pixels = codecs.decode(r.bytes, int(r.w), int(r.h), r.fmt)
-        sh = byte_shingles(
-            pixels.tobytes(),
-            cfg.shingle_k,
-            t.shingle_seed,
-            cfg.shingle_sample_bits,
-            cfg.shingle_sample_min,
-        )
+        sh = shingles_for(pixels.tobytes(), cfg, t)
         mh = minhash_signature(sh, t)
         out.append(
             {

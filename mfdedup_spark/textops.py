@@ -485,6 +485,145 @@ def doc_caption_substring_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- chunking (T2 / T3)
+#: 256-entry seeded gear table for text CDC (reference: Gear.h:14-30);
+#: 20-bit entries keep every window sum far inside int64 in both engines
+DOC_GEAR = [derive_seed(f"doc-gear-{b}") % (1 << 20) for b in range(256)]
+DOC_CDC_WINDOW = 20   # rolling window width (chars)
+DOC_CDC_DIVISOR = 64  # cut when window hash % divisor == 0 (expected ~64-char chunks)
+DOC_FIXED_SIZE = 64   # fixed-chunking stride (T3)
+
+
+def doc_cdc_chunks(docs: DataFrame) -> DataFrame:
+    """T2: content-defined chunking of document text with a gear-style
+    rolling window hash — the portable twin of the engine's selectable
+    chunking (--ChunkingMethod, ChunkingPipeline.h:17-20; Rabin at
+    :161-271). Boundary rule: cut after position i when the sum of seeded
+    gear values over the trailing ``DOC_CDC_WINDOW`` chars ≡ 0 mod
+    ``DOC_CDC_DIVISOR`` (an unweighted window sum rather than the shifted
+    gear recurrence, so DuckDB can replay it exactly with a window sum —
+    the engine's image path uses the true shifted gear, byte_shingles_gear).
+    Content-defined: an edit moves boundaries only within one window.
+
+    Output (doc_id, chunk_idx, chunk_len, chunk_fp) — all computed inside
+    one narrow array expression, no explode shuffle.
+    """
+    # each array is STAGED as its own projected column: referencing a
+    # named column inside the next transform() evaluates it once per row,
+    # whereas inlining the expression would re-evaluate it per element
+    # (an accidental O(n²·lut) blowup)
+    g_arr = F.array(*[F.lit(v).cast("long") for v in DOC_GEAR])
+    n = F.length("text")
+    w = F.lit(DOC_CDC_WINDOW)
+    gvals = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(
+            g_arr, F.pmod(F.ascii(F.substring(F.col("text"), i, F.lit(1))), F.lit(256)) + 1
+        ),
+    )
+    staged = docs.select("doc_id", "text", gvals.alias("_gv"))
+    h = F.transform(
+        F.sequence(F.lit(1), F.size("_gv")),
+        lambda i: F.aggregate(
+            F.slice(F.col("_gv"), F.greatest(i - w + 1, F.lit(1)), F.least(i, w)),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ),
+    )
+    staged = staged.select("doc_id", "text", h.alias("_h"))
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.size("_h")),
+        lambda i: (F.element_at(F.col("_h"), i) % DOC_CDC_DIVISOR == 0)
+        | (i == F.size("_h")),
+    )
+    staged = staged.select("doc_id", "text", cuts.alias("_cuts"))
+    starts = F.concat(
+        F.array(F.lit(0)), F.slice(F.col("_cuts"), 1, F.size("_cuts") - 1)
+    )
+    chunks = F.zip_with(
+        starts, F.col("_cuts"),
+        lambda s, e: F.substring(F.col("text"), s + 1, e - s),
+    )
+    return staged.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    ).select(
+        "doc_id",
+        (F.col("idx") + 1).cast("long").alias("chunk_idx"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        md5_long(F.col("chunk")).alias("chunk_fp"),
+    )
+
+
+def doc_cdc_chunks_sql() -> str:
+    g_list = ", ".join(str(v) for v in DOC_GEAR)
+    return f"""
+        with lut as (
+          select unnest(range(0, 256)) as b, unnest([{g_list}]) as g
+        ),
+        pos as (
+          select doc_id, text, unnest(range(1, length(text) + 1)) as i
+          from documents
+        ),
+        gv as (
+          select p.doc_id, p.text, p.i, cast(l.g as bigint) as g
+          from pos p join lut l on l.b = ascii(substr(p.text, p.i, 1)) % 256
+        ),
+        h as (
+          select doc_id, text, i,
+                 sum(g) over (partition by doc_id order by i
+                              rows between {DOC_CDC_WINDOW - 1} preceding
+                              and current row) as hh
+          from gv
+        ),
+        cuts as (
+          select doc_id, text, i as e
+          from h where hh % {DOC_CDC_DIVISOR} = 0 or i = length(text)
+        ),
+        ch as (
+          select doc_id, text, e,
+                 coalesce(lag(e) over (partition by doc_id order by e), 0) as s,
+                 row_number() over (partition by doc_id order by e) as chunk_idx
+          from cuts
+        )
+        select doc_id, chunk_idx,
+               cast(e - s as bigint) as chunk_len,
+               {md5_long_sql("substr(text, s + 1, e - s)")} as chunk_fp
+        from ch
+    """
+
+
+def doc_fixed_chunks(docs: DataFrame, size: int = DOC_FIXED_SIZE) -> DataFrame:
+    """T3: fixed-offset chunking (ChunkingPipeline.h:303-389) — stride
+    ``size`` substrings, fp per chunk. Same output schema as the CDC twin.
+    """
+    n_chunks = F.ceil(F.length("text") / F.lit(size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda j: F.substring(F.col("text"), (j - 1) * size + 1, F.lit(size)),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    ).select(
+        "doc_id",
+        (F.col("idx") + 1).cast("long").alias("chunk_idx"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        md5_long(F.col("chunk")).alias("chunk_fp"),
+    )
+
+
+def doc_fixed_chunks_sql(size: int = DOC_FIXED_SIZE) -> str:
+    return f"""
+        select doc_id, cast(j as bigint) as chunk_idx,
+               cast(length(substr(text, cast((j - 1) * {size} + 1 as bigint), {size}))
+                    as bigint) as chunk_len,
+               {md5_long_sql(f"substr(text, cast((j - 1) * {size} + 1 as bigint), {size})")}
+                 as chunk_fp
+        from documents,
+             unnest(range(1, greatest(cast(ceil(length(text) / {size}.0) as bigint), 1) + 1))
+               as t(j)
+    """
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Rolling polynomial fingerprint over gram hashes:
     fold(h_i): acc = (acc*31 + h_i) % P, seeded with 0 (list_prepend twin

@@ -139,3 +139,70 @@ def test_bucket_matcher():
     assert not m.substring_hosts("purple cow")
     # needles never match across caption boundaries
     assert not m.substring_hosts("fox lazy")
+
+
+def test_shingle_methods_properties():
+    """T2 gear / T3 fixed schemes: locality + stride properties, and the
+    three methods are genuinely different hash families."""
+    import numpy as np
+
+    from mfdedup_spark.core.hashes import (
+        byte_shingles,
+        byte_shingles_fixed,
+        byte_shingles_gear,
+    )
+
+    rng = np.random.default_rng(2)
+    data = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+    seed = np.uint64(12345)
+    k = 8
+
+    cdc = byte_shingles(data, k, seed, sample_bits=0)
+    gear = byte_shingles_gear(data, k, seed, sample_bits=0)
+    fixed = byte_shingles_fixed(data, k, seed, sample_bits=0)
+
+    # gear is a genuinely different hash family (table lookups + shifts):
+    # negligible overlap with the word-read scheme
+    assert len(np.intersect1d(cdc, gear)) < 3
+    # fixed is the degenerate stride-k case of cdc: its windows are a
+    # strict subset of the sliding windows
+    assert len(np.intersect1d(cdc, fixed)) == len(fixed)
+    assert len(fixed) < len(cdc)
+
+    # gear is window-limited: flipping one byte changes at most k window
+    # hashes (content-defined locality — the CDC property)
+    mutated = bytearray(data)
+    mutated[2000] ^= 0xFF
+    gear2 = byte_shingles_gear(bytes(mutated), k, seed, sample_bits=0)
+    assert len(np.setxor1d(gear, gear2)) <= 2 * k
+
+    # fixed stride: exactly n/k windows, flipping one byte changes exactly
+    # one window hash
+    assert len(fixed) <= len(data) // k
+    fixed2 = byte_shingles_fixed(bytes(mutated), k, seed, sample_bits=0)
+    assert len(np.setxor1d(fixed, fixed2)) == 2
+
+
+def test_shingle_method_dispatch():
+    """shingles_for honors SignatureConfig.shingle_method; unknown method
+    rejected at config construction."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mfdedup_spark.config import SignatureConfig
+    from mfdedup_spark.core.hashes import (
+        SignatureTables,
+        byte_shingles_gear,
+        shingles_for,
+    )
+
+    data = bytes(np.random.default_rng(3).integers(0, 256, 1024, dtype=np.uint8))
+    cfg = SignatureConfig(shingle_method="gear")
+    t = SignatureTables.get(cfg)
+    want = byte_shingles_gear(
+        data, cfg.shingle_k, t.shingle_seed,
+        cfg.shingle_sample_bits, cfg.shingle_sample_min,
+    )
+    assert np.array_equal(shingles_for(data, cfg, t), want)
+    with _pytest.raises(ValueError, match="shingle_method"):
+        SignatureConfig(shingle_method="nope")

@@ -112,3 +112,42 @@ def test_no_silent_drops_at_this_scale(results):
     _, _, out = results
     # fixture buckets stay under the cap → drop log must be empty
     assert out["bucket_stats"].where("dropped > 0").count() == 0
+
+
+@pytest.mark.parametrize("method", ["gear", "fixed"])
+def test_signature_parity_per_method(spark, method):
+    """T2/T3 parity: Spark signatures equal the numpy oracle at each
+    selectable shingle method, and the planted near-dups are still found
+    (--ChunkingMethod analogue, ChunkingPipeline.h:17-20)."""
+    from mfdedup_spark.config import SignatureConfig
+    from mfdedup_spark.functions.signatures import compute_signatures
+
+    cfg = SignatureConfig(shingle_method=method)
+    pdf, truth = generate_images(50, seed=21)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/img.parquet"
+        write_parquet(pdf, p)
+        got = (
+            compute_signatures(spark.read.parquet(p), cfg)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+    want = (
+        oracle.compute_signatures(pdf, cfg)
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert got["simhash"].tolist() == want["simhash"].tolist()
+    for g, w in zip(got["mh_bands"], want["mh_bands"]):
+        assert list(g) == list(w)
+    # the method still recovers planted near-dup pairs (oracle pipeline)
+    sigs = oracle.compute_signatures(pdf, cfg)
+    cand = oracle.candidate_pairs(sigs, cfg)
+    pairs = oracle.verify_pairs(sigs, cand, cfg)
+    got_pairs = set(zip(pairs["image_id_a"], pairs["image_id_b"]))
+    want_pairs = {tuple(sorted(p)) for p in truth.near_pairs}
+    found = sum(1 for p in want_pairs if p in got_pairs)
+    assert found / max(len(want_pairs), 1) >= 0.9, (method, found, len(want_pairs))
