@@ -26,7 +26,14 @@ def connected_components(
     pairs: DataFrame, vertices: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """pairs(image_id_a, image_id_b) + vertices(image_id)
-    → clusters(image_id, cluster_id). Singletons keep their own id."""
+    → clusters(image_id, cluster_id). Singletons keep their own id.
+
+    Iteration runs over EDGE ENDPOINTS only: vertices with no edges can
+    never change label, so carrying them through every join/agg round
+    (the round-1 shape) just inflates each iteration's shuffle by the
+    singleton fraction. They are unioned back label=self at the end —
+    one anti-join, zero iterations.
+    """
     edges = (
         pairs.select(
             F.col("image_id_a").alias("src"), F.col("image_id_b").alias("dst")
@@ -39,9 +46,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
+    endpoints = edges.select(F.col("src").alias("image_id")).distinct()
+    labels = endpoints.select(
         F.col("image_id"), F.col("image_id").alias("cluster_id")
     ).localCheckpoint(eager=True)
+    singletons = vertices.select("image_id").join(
+        endpoints, "image_id", "left_anti"
+    ).select(F.col("image_id"), F.col("image_id").alias("cluster_id"))
 
     def fingerprint(df) -> tuple:
         """Order-insensitive label-set fingerprint — one action per
@@ -79,7 +90,7 @@ def connected_components(
                 .count()
             )
             if changed == 0:
-                return new_labels
+                return new_labels.unionByName(singletons)
         labels = new_labels
         prev_fp = fp
     raise RuntimeError(

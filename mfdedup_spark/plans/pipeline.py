@@ -55,8 +55,11 @@ def dedup_images(
         )
     pairs = verified.dropDuplicates(["image_id_a", "image_id_b", "method"])
 
+    # edges straight from verified (NOT via pairs): the per-method
+    # dropDuplicates would add a second shuffle that the id-only distinct
+    # below subsumes
     clusters = connected_components(
-        pairs.select("image_id_a", "image_id_b").distinct(),
+        verified.select("image_id_a", "image_id_b").distinct(),
         sig.select("image_id"),
     )
 

@@ -26,6 +26,21 @@ Layout under ``warehouse/``:
                     (DeduplicationPipeline.h:40-43)
   lineage/          per-partition manifest rows (partition_id, version,
                     rows, bytes, state) for checkpoint-resume (north_star)
+  stage_stats/      per-stage ingest durations (getStatistics analogue)
+
+Iceberg drop-in mapping (the production backend this API is shaped for;
+an IcebergStore would implement the same six methods against a catalog):
+  write_partition(df, t, k, v)  → INSERT OVERWRITE t PARTITION (k=v)
+  write_partitions(df, t, k)    → dynamic-overwrite snapshot commit
+                                  (spark.sql.sources.partitionOverwriteMode
+                                  =dynamic ≡ Iceberg overwrite-by-filter)
+  read_partitions(t, k, vs)     → scan with partition predicate k IN (vs)
+                                  (partition pruning from table metadata)
+  drop_partition(t, k, v)       → ALTER TABLE DROP PARTITION — metadata-only
+  list_partitions(t, k)         → table partitions metadata query
+  write_manifest / read_manifest→ snapshot commit / current-snapshot read
+                                  (the JSON swap is the same single-pointer
+                                  atomicity Iceberg's catalog provides)
 """
 
 from __future__ import annotations

@@ -34,7 +34,10 @@ def build_zip() -> str:
     return zpath
 
 
-def run_once(cpus: int, zpath: str, input_path: str, mode: str, fidelity: str) -> dict:
+def run_once(
+    cpus: int, zpath: str, input_path: str, mode: str, fidelity: str,
+    profile: bool = False,
+) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cpus}]",
@@ -52,6 +55,8 @@ def run_once(cpus: int, zpath: str, input_path: str, mode: str, fidelity: str) -
         "--mode", mode,
         "--fidelity", fidelity,
     ]
+    if profile:
+        cmd.append("--profile-stages")
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     for line in out.stdout.splitlines():
         line = line.strip()
@@ -88,7 +93,10 @@ def main() -> int:
     for rep in range(args.reps):
         for cpus in levels:
             s0 = cpu_stat()
-            r = run_once(cpus, zpath, input_path, args.mode, args.fidelity)
+            r = run_once(
+                cpus, zpath, input_path, args.mode, args.fidelity,
+                profile=(rep == 0 and args.mode == "dedup"),
+            )
             s1 = cpu_stat()
             dt, didle = s1[0] - s0[0], s1[1] - s0[1]
             r["host_busy_frac"] = round(1 - didle / max(dt, 1), 3)
@@ -143,6 +151,36 @@ All raw runs (seconds, with host-busy fraction):
                 )
                 + "\n"
             )
+        # per-stage breakdown: which stage flattens when cores quadruple
+        if any("stages" in r for rs in results.values() for r in rs):
+            stage_names = list(
+                next(r for r in results[levels[0]] if "stages" in r)["stages"]
+            )
+            f.write(
+                "\n## Per-stage breakdown (instrumented pass, rep 0; "
+                "barriers serialize branches, so stage sums exceed the "
+                "pipelined e2e wall; stage eff = (T_lo/T_hi)/(hi/lo))"
+                "\n\n| stage | "
+                + " | ".join(f"local[{c}]" for c in levels)
+                + " | stage efficiency |\n|---|"
+                + "---|" * (len(levels) + 1)
+                + "\n"
+            )
+            for sname in stage_names:
+                bests = {
+                    c: min(
+                        r["stages"].get(sname, float("inf"))
+                        for r in rs
+                        if "stages" in r
+                    )
+                    for c, rs in results.items()
+                }
+                seff = (bests[lo] / bests[hi]) / (hi / lo) if bests[hi] else 0
+                f.write(
+                    f"| {sname} | "
+                    + " | ".join(f"{bests[c]:.1f}" for c in levels)
+                    + f" | {seff:.2f} |\n"
+                )
         f.write("""
 Notes:
 - Single-VM substitute for the N→4N executor rule: both levels share one
