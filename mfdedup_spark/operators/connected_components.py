@@ -64,19 +64,24 @@ def connected_components(
         ).collect()[0]
         return (row["x"], row["n"])
 
-    prev_fp = fingerprint(labels)
-    for _ in range(max_iter):
-        # propagate: each edge offers src's current label to dst
-        offered = (
-            edges.join(labels, edges.src == labels.image_id)
-            .select(F.col("dst").alias("image_id"), "cluster_id")
+    def propagate(lbl):
+        # each edge offers src's current label to dst
+        offered = edges.join(lbl, edges.src == lbl.image_id).select(
+            F.col("dst").alias("image_id"), "cluster_id"
         )
-        new_labels = (
-            labels.unionByName(offered)
+        return (
+            lbl.unionByName(offered)
             .groupBy("image_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=False)
         )
+
+    prev_fp = fingerprint(labels)
+    for _ in range(max_iter):
+        # TWO propagation hops per materialization: per-round cost on this
+        # graph shape is dominated by fixed job/stage latency, not data,
+        # so batching hops halves the constant CC coordination cost (an
+        # extra hop after convergence is a no-op)
+        new_labels = propagate(propagate(labels)).localCheckpoint(eager=False)
         fp = fingerprint(new_labels)
         if fp == prev_fp:
             # the fingerprint is a 64-bit hash — confirm convergence with
