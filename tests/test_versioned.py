@@ -312,3 +312,14 @@ def test_ingest_with_clusters(spark, series, tmp_path_factory):
     allp = _pd.concat([pairs, cpairs], ignore_index=True)
     want = oracle.connected_components(allp, v1["image_id"].tolist())
     assert dict(zip(got["image_id"], got["cluster_id"])) == want
+
+
+def test_stage_stats_recorded(ingested):
+    """Per-stage ingest durations persist (getStatistics analogue,
+    main.cpp:151-155) and cover the pipeline stages for every version."""
+    store, pdf, _ = ingested
+    stats = store.read_stage_stats().toPandas()
+    got = set(stats["stage"])
+    assert {"signature_classify", "write_recipes", "write_chunks"} <= got
+    assert set(stats["version"]) == {1, 2, 3}
+    assert (stats["seconds"] >= 0).all()
