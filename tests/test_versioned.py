@@ -323,3 +323,24 @@ def test_stage_stats_recorded(ingested):
     assert {"signature_classify", "write_recipes", "write_chunks"} <= got
     assert set(stats["version"]) == {1, 2, 3}
     assert (stats["seconds"] >= 0).all()
+
+
+def test_ingest_restore_with_gear_method(spark, tmp_path_factory):
+    """--ChunkingMethod parity through the FULL engine: ingest + restore
+    work unchanged under shingle_method='gear' (T2), and the NDF
+    classification is method-independent (it keys on exact SHA-1)."""
+    from mfdedup_spark.config import SignatureConfig
+
+    cfg = EngineConfig(signature=SignatureConfig(shingle_method="gear"))
+    pdf = generate_versioned(n_images=30, versions=2, seed=17)
+    p = tmp_path_factory.mktemp("gear") / "images.parquet"
+    write_parquet(pdf, str(p))
+    store = DedupStore(spark, str(tmp_path_factory.mktemp("wh_gear")))
+    ingest_series(store, spark.read.parquet(str(p)), cfg, retention=False)
+    for v in (1, 2):
+        _, stats = restore_version(store, v)
+        assert stats["rows"] == len(pdf[pdf["version"] == v])
+    want = oracle.classify_versions(pdf)
+    got = store.read_table("classification").toPandas()
+    merged = got.merge(want, on=["image_id", "version"], suffixes=("", "_w"))
+    assert (merged["result"] == merged["result_w"]).all()
