@@ -289,6 +289,79 @@ def test_arrange_constant_jobs(spark, tmp_path_factory):
         assert stats["rows"] == len(pdf[pdf["version"] == v])
 
 
+class _ArrangeCrash(RuntimeError):
+    """Injected kill inside the arrange migration window."""
+
+
+@pytest.mark.parametrize("crash", ["before_archive", "before_drops", "mid_drops"])
+def test_arrange_crash_resume(spark, series, tmp_path_factory, crash):
+    """Kill arrange() at every point of its write-new/drop-old window
+    (VERDICT r02 wrong #1), then re-run ingest_version — the documented
+    resume story. The resumed store must keep the fp-uniqueness invariant
+    restore relies on (no dropDuplicates on the payload pool) and restore
+    every version byte-correct.
+
+    Windows: after the new-category write but before the archive write;
+    after the archive write but before any old-category drop; after the
+    first of several drops (a partially-dropped source set, where the
+    dead chunks of the dropped category survive only in the archive
+    volume written by the crashed run)."""
+    from mfdedup_spark.plans.restore import chunk_pool
+
+    path, pdf = series
+    wh = str(tmp_path_factory.mktemp(f"wh_crash_{crash}"))
+    store = DedupStore(spark, wh)
+    images = spark.read.parquet(path)
+    ingest_version(store, images.where("version = 1"), CFG)
+    ingest_version(store, images.where("version = 2"), CFG)
+
+    orig_write, orig_drop = store.write_partition, store.drop_partition
+    if crash == "before_archive":
+        def _write(df, table, key, value, sort_cols=None):
+            if table == "archived":
+                raise _ArrangeCrash()
+            return orig_write(df, table, key, value, sort_cols=sort_cols)
+
+        store.write_partition = _write
+    elif crash == "before_drops":
+        def _drop(table, key, value):
+            raise _ArrangeCrash()
+
+        store.drop_partition = _drop
+    else:  # mid_drops: first drop lands, second is the kill
+        calls = {"n": 0}
+
+        def _drop(table, key, value):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise _ArrangeCrash()
+            return orig_drop(table, key, value)
+
+        store.drop_partition = _drop
+
+    with pytest.raises(_ArrangeCrash):
+        ingest_version(store, images.where("version = 3"), CFG)
+    # the manifest swap never ran: version 3 is uncommitted
+    assert store.read_manifest()["total_version"] == 2
+
+    store.write_partition, store.drop_partition = orig_write, orig_drop
+    res = ingest_version(store, images.where("version = 3"), CFG)
+    assert not res["skipped"]
+
+    for v in (1, 2, 3):
+        pool, _ = chunk_pool(store, v)
+        assert pool.count() == pool.select("fp").distinct().count(), (crash, v)
+        restored, stats = restore_version(store, v)
+        got = restored.toPandas().set_index("image_id")
+        orig = pdf[pdf["version"] == v].set_index("image_id")
+        assert stats["rows"] == len(orig), (crash, v, stats)
+        for iid, row in orig.iterrows():
+            assert bytes(got.loc[iid, "bytes"]) == bytes(row["bytes"]), (crash, iid)
+            assert got.loc[iid, "caption"] == row["caption"], (crash, iid)
+    # the resumed layout equals the crash-free one: only x=3 categories live
+    assert store.list_partitions("chunk_store", "category") == [4, 5, 6]
+
+
 def test_ingest_with_clusters(spark, series, tmp_path_factory):
     """Clusters written per version match the oracle's per-version
     clustering (same signature config, union of LSH + caption pairs)."""
