@@ -54,6 +54,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: on-disk layout generation. 2 = recipes carry per-copy metadata
+#: (w/h/fmt/caption/phash) + length, chunk payloads carry length/phash/
+#: first_version. A warehouse stamped with a different generation cannot
+#: be read by this code — fail loudly instead of erroring mid-plan on
+#: missing columns (ADVICE r02: backward-incompatible schema change).
+STORE_FORMAT = 2
+
+
+class StoreFormatError(RuntimeError):
+    """Warehouse written by an incompatible engine generation."""
+
+
 class DedupStore:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
@@ -66,17 +78,28 @@ class DedupStore:
         return os.path.join(self.root, "manifest.json")
 
     def read_manifest(self) -> dict:
-        """Defaults to zeros if missing (ManifestReader, Manifest.h:23-39)."""
+        """Defaults to zeros if missing (ManifestReader, Manifest.h:23-39).
+        Refuses a manifest stamped by another engine generation."""
         if not os.path.exists(self._manifest_path):
             return {"total_version": 0, "arrangement_fall_behind": 0}
         with open(self._manifest_path) as f:
-            return json.load(f)
+            m = json.load(f)
+        fmt = m.get("format", 1)
+        if fmt != STORE_FORMAT:
+            raise StoreFormatError(
+                f"warehouse {self.root} is store format {fmt}, this engine "
+                f"reads format {STORE_FORMAT}: reingest required (recipes/"
+                "chunk partitions lack the per-copy metadata columns)"
+            )
+        return m
 
     def write_manifest(self, m: dict) -> None:
         """Atomic overwrite — the commit point of every job (Manifest.h:14-21)."""
         tmp = self._manifest_path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({**m, "updated_at": time.time()}, f)
+            json.dump(
+                {**m, "format": STORE_FORMAT, "updated_at": time.time()}, f
+            )
         os.replace(tmp, self._manifest_path)
 
     # --------------------------------------------------------------- tables

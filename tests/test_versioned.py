@@ -289,6 +289,59 @@ def test_arrange_constant_jobs(spark, tmp_path_factory):
         assert stats["rows"] == len(pdf[pdf["version"] == v])
 
 
+def test_restore_empty_store(spark, tmp_path_factory):
+    """Restore on a fresh/never-ingested warehouse fails with the clear
+    not-restorable error at both gates (manifest and chunk pool), not a
+    NoneType crash (ADVICE r02 / VERDICT r02 task 8)."""
+    from mfdedup_spark.plans.restore import chunk_pool
+
+    store = DedupStore(spark, str(tmp_path_factory.mktemp("wh_empty")))
+    with pytest.raises(AssertionError, match="not restorable"):
+        restore_version(store, 1)
+    with pytest.raises(AssertionError, match="not restorable"):
+        chunk_pool(store, 1)
+
+
+def test_store_format_guard(spark, tmp_path_factory):
+    """A manifest from an earlier on-disk generation (no per-copy recipe
+    metadata) is refused with a clear reingest-required error instead of
+    failing mid-plan on missing columns (ADVICE r02 low #3)."""
+    import json as _json
+
+    from mfdedup_spark.store import StoreFormatError
+
+    wh = str(tmp_path_factory.mktemp("wh_fmt"))
+    store = DedupStore(spark, wh)
+    with open(os.path.join(wh, "manifest.json"), "w") as f:
+        _json.dump({"total_version": 3, "arrangement_fall_behind": 0}, f)
+    with pytest.raises(StoreFormatError, match="reingest required"):
+        store.read_manifest()
+    # round-trip through write_manifest stamps the current format
+    store.write_manifest({"total_version": 3, "arrangement_fall_behind": 0})
+    assert store.read_manifest()["total_version"] == 3
+
+
+def test_restore_single_payload_pass(spark, ingested):
+    """restore_version() itself runs only metadata jobs (recipe agg,
+    fp-only anti-join coverage check, pool length agg) — the payload join
+    materializes exactly once, when the caller acts on the returned
+    DataFrame (VERDICT r02 wrong #2: the old count() assert was a second
+    full pass over the chunk pool)."""
+    store, pdf, _ = ingested
+    sc = spark.sparkContext
+    sc.setJobGroup("restore-plan", "restore job-count test")
+    try:
+        restored, stats = restore_version(store, 3)
+    finally:
+        sc.setJobGroup("", "")
+    n_plan_jobs = len(sc.statusTracker().getJobIdsForGroup("restore-plan"))
+    # three metadata actions fan into ~9 AQE sub-jobs; materializing the
+    # payload join adds ~5 more (measured), so a second payload pass
+    # inside restore_version would blow through this bound
+    assert 0 < n_plan_jobs <= 10, n_plan_jobs
+    assert restored.count() == stats["rows"]
+
+
 class _ArrangeCrash(RuntimeError):
     """Injected kill inside the arrange migration window."""
 
