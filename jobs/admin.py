@@ -50,6 +50,10 @@ def main() -> None:
             "live_categories": store.list_partitions("chunk_store", "category"),
             "archived_volumes": store.list_partitions("archived", "archive_version"),
         }
+        from mfdedup_spark.streaming.ingest_stream import pending_versions
+
+        # streamed versions parked behind a gap (ADVICE r02: must surface)
+        out["pending_versions"] = pending_versions(store)
         lineage = store.read_lineage()
         if lineage is not None:
             out["lineage_rows"] = lineage.count()

@@ -38,8 +38,10 @@ class SignatureConfig:
     shingle_method: str = "cdc" # --ChunkingMethod analogue (ChunkingPipeline.h:
                                 # 17-20): "cdc" (word-read + splitmix, FastCDC-
                                 # style sampling), "gear" (T2: shifted gear-table
-                                # rolling hash, Rabin analogue), "fixed" (T3:
-                                # non-overlapping stride-k windows)
+                                # rolling hash), "rabin" (T2: TRUE Rabin
+                                # fingerprint over GF(2) mod the reference's
+                                # polynomial, rabin_chunking.h:38-39), "fixed"
+                                # (T3: non-overlapping stride-k windows)
     shingle_sample_bits: int = 4   # keep shingles whose mixed hash falls in the
                                    # lowest 2^-bits fraction (content-defined
                                    # sampling — the CDC mask idea, FastCDC's
@@ -58,13 +60,21 @@ class SignatureConfig:
     minhash_jaccard_threshold: float = 0.5
     simhash_hamming_threshold: int = 6
     caption_gram_k: int = 3     # word k-grams for caption blocking
+    caption_max_grams: int = 32 # blocking-key volume bound: only the m
+                                # smallest gram hashes per caption block
+                                # (at web scale the gram explosion is
+                                # tokens× the corpus; a substring shares
+                                # ALL its grams with its host, so the
+                                # bottom-m sample keeps recall ~1 for
+                                # realistic caption lengths —
+                                # test_caption_bounded_recall)
     bucket_cap: int = 256       # max members considered per LSH bucket
                                 # (skew guard; drops are logged)
     salt_buckets: int = 16      # salt fan-out for hot-bucket aggregation
 
     def __post_init__(self) -> None:
         assert self.lsh_bands * self.lsh_rows == self.num_perms
-        if self.shingle_method not in ("cdc", "gear", "fixed"):
+        if self.shingle_method not in ("cdc", "gear", "rabin", "fixed"):
             raise ValueError(f"unknown shingle_method {self.shingle_method!r}")
 
 

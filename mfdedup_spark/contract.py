@@ -79,6 +79,13 @@ def q_ngram_jaccard_docs(spark, sf_dir):
     return textops.doc_ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.2)
 
 
+def q_ngram_jaccard_docs_capped(spark, sf_dir):
+    pairs, _ = textops.doc_ngram_jaccard_pairs_capped(
+        _t(spark, sf_dir, "documents"), 0.2
+    )
+    return pairs
+
+
 def _events_classified(spark, sf_dir):
     """NDF classification over events: fp = md5(props), version = day of
     year, arrival order = event_id. Exact reference semantics via one
@@ -795,6 +802,38 @@ def _lsh_pairs_capped_sql() -> str:
     )
 
 
+def _ngram_jaccard_capped_sql() -> str:
+    """Capped anchor-star candidates + exact Jaccard verification — the
+    oracle replays the cap exactly (the proven capped-oracle pattern)."""
+    from mfdedup_spark.textops import DOC_PAIR_CAP
+
+    return (
+        _bands_cte()
+        + ","
+        + _capped_star_sql("bands", "band, bucket", "doc_id", DOC_PAIR_CAP)
+        + f""",
+        grams as (
+          select doc_id, unnest(list_distinct({gram_hashes_sql('text')})) as g
+          from documents
+        ),
+        sizes as (select doc_id, count(*) as n from grams group by 1),
+        inter as (
+          select p.doc_id_a, p.doc_id_b, count(*) as n_common
+          from cpairs p
+          join grams ga on ga.doc_id = p.doc_id_a
+          join grams gb on gb.doc_id = p.doc_id_b and gb.g = ga.g
+          group by 1, 2
+        )
+        select i.doc_id_a, i.doc_id_b, i.n_common,
+               round(i.n_common / (na.n + nb.n - i.n_common), 6) as jaccard
+        from inter i
+        join sizes na on na.doc_id = i.doc_id_a
+        join sizes nb on nb.doc_id = i.doc_id_b
+        where round(i.n_common / (na.n + nb.n - i.n_common), 6) >= 0.2
+    """
+    )
+
+
 def _simhash_pairs_capped_sql() -> str:
     from mfdedup_spark.textops import DOC_PAIR_CAP
 
@@ -985,6 +1024,7 @@ ORACLE_SQL["ivf_lists_trained"] = _ivf_lists_trained_sql()
 ORACLE_SQL["ann_ivf_topk_trained"] = _ann_ivf_trained_sql()
 ORACLE_SQL["ann_lsh_topk_multiprobe"] = _ann_multiprobe_sql()
 ORACLE_SQL["lsh_pairs_docs_capped"] = _lsh_pairs_capped_sql()
+ORACLE_SQL["ngram_jaccard_docs_capped"] = _ngram_jaccard_capped_sql()
 ORACLE_SQL["simhash_pairs_docs_capped"] = _simhash_pairs_capped_sql()
 ORACLE_SQL["caption_substring_docs_capped"] = _caption_capped_sql()
 ORACLE_SQL["embedding_neardup_capped"] = _embedding_neardup_capped_sql()
@@ -1017,6 +1057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_substring_docs_capped": q_caption_substring_docs_capped,
     "embedding_neardup_capped": q_embedding_neardup_capped,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "ngram_jaccard_docs_capped": q_ngram_jaccard_docs_capped,
     "ndf_classification_events": q_ndf_classification_events,
     "dedup_metrics_events": q_dedup_metrics_events,
     "category_assignment_events": q_category_assignment_events,

