@@ -522,6 +522,58 @@ def srp_buckets_joined(emb_df: DataFrame, n_planes: int = N_PLANES) -> DataFrame
     )
 
 
+def ann_ivf_topk_joined(
+    emb_df: DataFrame,
+    centroids: list[list[int]],
+    n_queries: int = 10,
+    topk: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Trained-IVF ANN entirely on the broadcast-join path: list
+    assignment AND per-query probe selection (rank centroids by distance,
+    keep nprobe) use the broadcast centroids DataFrame, so the plan holds
+    at k≫16 where ann_ivf_topk_trained's k-struct probe array would not
+    compile. Output identical to ann_ivf_topk_trained
+    (test_ann_ivf_joined_parity)."""
+    cdf = _centroids_df(emb_df.sparkSession, centroids)
+    with_l = ivf_lists_joined(emb_df, centroids).join(
+        emb_df.select("vec_id", "embedding"), "vec_id"
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy("d", "list_id")
+    probes = (
+        emb_df.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            quantize(F.col("embedding")).alias("qv"),
+        )
+        .crossJoin(F.broadcast(cdf))
+        .select("query_id", "qe", "list_id", d.alias("d"))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qe", "list_id")
+    )
+    cand = F.broadcast(probes).join(with_l, "list_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 # --------------------------------------------------------- multi-probe SRP
 def ann_lsh_topk_multiprobe(
     emb_df: DataFrame,

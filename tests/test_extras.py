@@ -390,3 +390,24 @@ def test_cdc_chunks_empty_doc(spark):
     fixed = textops.doc_fixed_chunks(docs).toPandas()
     # fixed chunking keeps its one-empty-chunk convention in BOTH engines
     assert set(fixed["doc_id"]) == {1, 2}
+
+
+def test_ann_ivf_joined_parity(spark):
+    """The all-join IVF top-k (assignment + probe selection via broadcast
+    centroids) reproduces ann_ivf_topk_trained exactly at the contract
+    knobs and runs at k=256."""
+    from mfdedup_spark.annops import (
+        ann_ivf_topk_joined,
+        ann_ivf_topk_trained,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = ivf_train(emb, k=16)
+    want = sorted(map(tuple, ann_ivf_topk_trained(emb, centroids=cent).collect()))
+    got = sorted(map(tuple, ann_ivf_topk_joined(emb, cent).collect()))
+    assert got == want
+    cent256 = ivf_train(emb, k=256)
+    big = ann_ivf_topk_joined(emb, cent256, n_queries=5, topk=3).collect()
+    assert {r["query_id"] for r in big} <= set(range(5))
+    assert all(1 <= r["rank"] <= 3 for r in big)
