@@ -36,7 +36,7 @@ def build_zip() -> str:
 
 def run_once(
     cpus: int, zpath: str, input_path: str, mode: str, fidelity: str,
-    profile: bool = False,
+    profile: bool = False, timeout: int = 1200,
 ) -> dict:
     cmd = [
         "spark-submit",
@@ -57,7 +57,7 @@ def run_once(
     ]
     if profile:
         cmd.append("--profile-stages")
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
@@ -72,6 +72,9 @@ def main() -> int:
     ap.add_argument("--mode", default="signatures")
     ap.add_argument("--fidelity", default="full")
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--timeout", type=int, default=1200,
+                    help="per-run wall limit (s); raise for big N — a "
+                    "throttled 2-core 1M-image run can exceed 20 min")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -96,11 +99,19 @@ def main() -> int:
             r = run_once(
                 cpus, zpath, input_path, args.mode, args.fidelity,
                 profile=(rep == 0 and args.mode == "dedup"),
+                timeout=args.timeout,
             )
             s1 = cpu_stat()
             dt, didle = s1[0] - s0[0], s1[1] - s0[1]
             r["host_busy_frac"] = round(1 - didle / max(dt, 1), 3)
             results[cpus].append(r)
+            # incremental raw log: a multi-hour big-N session that dies
+            # mid-protocol keeps its completed reps
+            os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+            with open(
+                os.path.join(REPO, "BENCH", f"raw_{args.mode}_{args.n}.jsonl"), "a"
+            ) as rawf:
+                rawf.write(json.dumps({**r, "rep": rep, "cpus_level": cpus}) + "\n")
             print(
                 f"rep {rep} local[{cpus}]: {r['time_sec']}s "
                 f"({r['images_per_sec']} img/s, host busy {r['host_busy_frac']})",
