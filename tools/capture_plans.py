@@ -96,7 +96,22 @@ def main() -> None:
         explain_str(filtered),
     ))
 
-    # 6. restore: partition-pruned union + prefix-sum window + fp join
+    # 6. trained-IVF assignment via the broadcast-join path: plan is O(1)
+    # in k (constants ride the broadcast side, argmin is a partial agg)
+    from mfdedup_spark.annops import ivf_lists_joined, ivf_train
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = ivf_train(emb, k=16)
+    sections.append((
+        "Trained-IVF assignment (broadcast-join path)",
+        "BroadcastNestedLoopJoin against the k-row centroid table, one "
+        "zip_with fold per joined row, then partial_min(struct(d, "
+        "list_id)) before the exchange — map-side combine shrinks the "
+        "shuffle to one row per vec per partition. Plan size does not "
+        "grow with k (the expression path unrolls k folds instead).",
+        explain_str(ivf_lists_joined(emb, cent)),
+    ))
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write(
