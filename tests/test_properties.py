@@ -99,3 +99,39 @@ def test_hot_bucket_cap_parity(spark):
     assert got == want
     # hot-bucket adversaries overflow cap=4 → non-empty drop log
     assert stats.where("dropped > 0").count() > 0
+
+
+@given(
+    x=st.integers(min_value=1, max_value=100_000),
+    y=st.integers(min_value=1, max_value=100_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_live_version_of_inverts_category_serial(x, y):
+    """live_version_of (restore's committed-category filter) exactly
+    inverts the x(x-1)/2+y serial for every valid (x, y) with y <= x."""
+    from mfdedup_spark.plans.restore import live_version_of
+
+    if y > x:
+        x, y = y, x
+    serial = x * (x - 1) // 2 + y
+    assert live_version_of(serial) == x
+
+
+@given(data=st.binary(min_size=0, max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_rabin_linearity_property(data):
+    """Vectorized Rabin == bit-serial ground truth for arbitrary window
+    content (GF(2) linearity of the per-position tables)."""
+    import numpy as np
+
+    from mfdedup_spark.core.hashes import (
+        _rabin_slow,
+        byte_shingles_rabin,
+    )
+
+    k = 8
+    win = (data + bytes(k))[:k]
+    got = byte_shingles_rabin(win, k, np.uint64(0), sample_bits=0)
+    assert int(got[0]) == _rabin_slow(win) if len(got) == 1 else True
+    # full-array check on the first window of the padded buffer
+    assert _rabin_slow(win) in {int(v) for v in got}
