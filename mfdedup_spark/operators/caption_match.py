@@ -57,7 +57,13 @@ PAIR_SCHEMA = T.StructType(
 def caption_gram_buckets(
     images: DataFrame, cfg: SignatureConfig, max_grams_per_caption: int | None = None
 ) -> DataFrame:
-    """images → (bucket, image_id): one row per distinct word-k-gram."""
+    """images → (bucket, image_id): one row per distinct word-k-gram.
+
+    Shuffle-free: dedup, ordering and the bottom-m bound all happen
+    INSIDE the per-caption array (array_distinct → array_sort → slice)
+    before the explode, so blocking keys reach the pair generator without
+    a distinct or window exchange — at any m, bounded or not. Identical
+    to the oracle's ``sorted(set(hashes))[:m]``."""
     k = cfg.caption_gram_k
     toks = F.split(F.col("caption"), " ")
     n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
@@ -65,26 +71,21 @@ def caption_gram_buckets(
         F.sequence(F.lit(0), n_grams - F.lit(1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), k)),
     )
-    exploded = (
-        images.select("image_id", F.explode(grams).alias("gram"))
-        .select(
-            "image_id",
-            F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("bucket"),
+    hashes = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                grams,
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
         )
-        .distinct()
     )
     if max_grams_per_caption is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("image_id").orderBy("bucket")
-        exploded = (
-            exploded.withColumn("gn", F.row_number().over(w))
-            .where(F.col("gn") <= max_grams_per_caption)
-            .drop("gn")
-        )
-    return exploded
+        hashes = F.slice(hashes, 1, max_grams_per_caption)
+    return images.select("image_id", F.explode(hashes).alias("bucket")).select(
+        "image_id", "bucket"
+    )
 
 
 def caption_pairs(
