@@ -411,3 +411,56 @@ def test_ann_ivf_joined_parity(spark):
     big = ann_ivf_topk_joined(emb, cent256, n_queries=5, topk=3).collect()
     assert {r["query_id"] for r in big} <= set(range(5))
     assert all(1 <= r["rank"] <= 3 for r in big)
+
+
+def test_stateful_streaming_classify(spark, tmp_path):
+    """The applyInPandasWithState NDF classifier equals the batch
+    window+semi-join classifier run version-by-version: per-fp
+    last-seen-version GroupState carries the earlierTable knowledge
+    across micro-batches (one version per batch here, so ADJACENT vs
+    UNIQUE genuinely depends on cross-batch state)."""
+    import time
+
+    from mfdedup_spark import oracle
+    from mfdedup_spark.fixtures import generate_versioned
+    from mfdedup_spark.streaming.stateful_classify import stream_classify
+
+    pdf = generate_versioned(n_images=40, versions=3, seed=19)
+    # batch-side ground truth: the numpy oracle's NDF classification
+    want = oracle.classify_versions(pdf)
+
+    # signature records, one parquet file per version with in-order mtimes
+    import hashlib
+
+    recs = pdf[["image_id", "version", "seq_no"]].copy()
+    recs["length"] = pdf["bytes"].map(len).astype("int64")
+    recs["fp"] = pdf["bytes"].map(lambda b: hashlib.sha1(b).hexdigest())
+    src = tmp_path / "sigs"
+    src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for v in (1, 2, 3):
+        part = recs[recs["version"] == v]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(src / f"v{v}.parquet"),
+        )
+        time.sleep(1.1)
+
+    q, table = stream_classify(
+        spark, str(src), str(tmp_path / "ckpt"), query_name="ndf_stream_t"
+    )
+    q.awaitTermination(timeout=300)
+    got = spark.table(table).toPandas()
+    assert len(got) == len(pdf)
+    merged = got.merge(
+        want[["image_id", "version", "result"]],
+        on=["image_id", "version"],
+        suffixes=("", "_want"),
+    )
+    assert len(merged) == len(pdf)
+    mism = merged[merged["result"] != merged["result_want"]]
+    assert mism.empty, mism.head(10)
+    # the stream really saw multiple micro-batches (cross-batch state)
+    assert q.lastProgress is not None
