@@ -335,10 +335,10 @@ def test_restore_single_payload_pass(spark, ingested):
     finally:
         sc.setJobGroup("", "")
     n_plan_jobs = len(sc.statusTracker().getJobIdsForGroup("restore-plan"))
-    # three metadata actions fan into ~9 AQE sub-jobs; materializing the
-    # payload join adds ~5 more (measured), so a second payload pass
-    # inside restore_version would blow through this bound
-    assert 0 < n_plan_jobs <= 10, n_plan_jobs
+    # three metadata actions fan into ~9 AQE sub-jobs (measured);
+    # materializing the payload join adds ~5 more, so a second payload
+    # pass inside restore_version would land at ~14 and blow this bound
+    assert 0 < n_plan_jobs <= 11, n_plan_jobs
     assert restored.count() == stats["rows"]
 
 
