@@ -121,6 +121,40 @@ def q_ndf_classification_events(spark, sf_dir):
     return _events_classified(spark, sf_dir).select("event_id", "version", "result")
 
 
+def q_streaming_ndf_classify(spark, sf_dir):
+    """The applyInPandasWithState NDF classifier run as a real streaming
+    query over the same events-derived records — per-fp GroupState
+    (last-seen version) replaces the window + prev-version semi-join, so
+    the SQL oracle of the batch twin checks it hash-exactly. Within a
+    batch the operator orders each fp's records by (version, seq_no);
+    cross-micro-batch state parity is test_stateful_streaming_classify."""
+    import os
+    import tempfile
+
+    from mfdedup_spark.streaming.stateful_classify import stream_classify
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("image_id"),
+        F.dayofyear("ts").cast("int").alias("version"),
+        F.col("event_id").cast("long").alias("seq_no"),
+        F.lit(0).cast("long").alias("length"),
+        md5_long(F.col("props")).cast("string").alias("fp"),
+    )
+    d = tempfile.mkdtemp(prefix="ndf_stream_contract")
+    src = os.path.join(d, "src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    q, table = stream_classify(
+        spark, src, os.path.join(d, "ckpt"),
+        query_name=f"ndf_stream_{os.path.basename(d)}",
+    )
+    q.awaitTermination(timeout=600)
+    return spark.table(table).select(
+        F.col("image_id").cast("long").alias("event_id"),
+        F.col("version").cast("long").alias("version"),
+        "result",
+    )
+
+
 def q_dedup_metrics_events(spark, sf_dir):
     cl = _events_classified(spark, sf_dir)
     return cl.groupBy("version").agg(
@@ -1025,6 +1059,9 @@ ORACLE_SQL["ann_ivf_topk_trained"] = _ann_ivf_trained_sql()
 ORACLE_SQL["ann_lsh_topk_multiprobe"] = _ann_multiprobe_sql()
 ORACLE_SQL["lsh_pairs_docs_capped"] = _lsh_pairs_capped_sql()
 ORACLE_SQL["ngram_jaccard_docs_capped"] = _ngram_jaccard_capped_sql()
+# the stateful streaming classifier must equal the batch NDF semantics
+# exactly, so it shares the batch twin's oracle verbatim
+ORACLE_SQL["streaming_ndf_classify"] = ORACLE_SQL["ndf_classification_events"]
 ORACLE_SQL["simhash_pairs_docs_capped"] = _simhash_pairs_capped_sql()
 ORACLE_SQL["caption_substring_docs_capped"] = _caption_capped_sql()
 ORACLE_SQL["embedding_neardup_capped"] = _embedding_neardup_capped_sql()
@@ -1059,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "ngram_jaccard_docs_capped": q_ngram_jaccard_docs_capped,
     "ndf_classification_events": q_ndf_classification_events,
+    "streaming_ndf_classify": q_streaming_ndf_classify,
     "dedup_metrics_events": q_dedup_metrics_events,
     "category_assignment_events": q_category_assignment_events,
     "avar_split_events": q_avar_split_events,

@@ -61,23 +61,31 @@ def _classify_group(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """One fingerprint's records (possibly spanning versions) against its
-    last-seen-version state."""
+    last-seen-version state.
+
+    The runtime hands the group as an ITERATOR of Arrow chunks in shuffle
+    order, NOT version order — chunks must be concatenated before the
+    sort or a later-version chunk processed first poisons the state
+    (observed: 620/10000 under-classifications). One fp's records per
+    batch must therefore fit in worker memory — fine for this operator:
+    a group is one fingerprint's occurrences within one micro-batch."""
     (last_v,) = state.get if state.exists else (None,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["version", "seq_no"])
-        results = []
-        for v in pdf["version"]:
-            v = int(v)
-            if last_v == v:
-                results.append("INTERNAL")
-            elif last_v == v - 1:
-                results.append("ADJACENT")
-            else:
-                results.append("UNIQUE")
-            last_v = v
-        out = pdf.copy()
-        out["result"] = results
-        yield out
+    chunks = [pdf for pdf in pdfs]
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values(["version", "seq_no"])
+    results = []
+    for v in pdf["version"]:
+        v = int(v)
+        if last_v == v:
+            results.append("INTERNAL")
+        elif last_v == v - 1:
+            results.append("ADJACENT")
+        else:
+            results.append("UNIQUE")
+        last_v = v
+    out = pdf.copy()
+    out["result"] = results
+    yield out
     if last_v is not None:
         state.update((int(last_v),))
 
