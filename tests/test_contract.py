@@ -15,6 +15,7 @@ TABLES = [
 SUBSET = [
     "exact_dedup_docs",
     "ndf_classification_events",
+    "streaming_ndf_classify",
     "restore_prefix_sum",
     "semi_anti_orders",
     "token_stats_docs",
