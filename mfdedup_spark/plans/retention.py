@@ -35,6 +35,7 @@ def apply_retention(store: DedupStore, retention: int) -> dict:
             ("fp_index", "version"),
             ("classification", "version"),
             ("clusters", "version"),
+            ("drop_log", "version"),
             ("metrics", "version"),
         ):
             if store.drop_partition(table, key, o):

@@ -22,6 +22,9 @@ Layout under ``warehouse/``:
   recipes/          version=V/ ordered (seq_no, image_id, fp) lists
                     (Recipe files, WriteFilePipeline.h:87-100)
   clusters/         version=V/ near-dup cluster assignments (graft output)
+  drop_log/         version=V/ hot-bucket overflow log from the capped
+                    pair generators (north_rule: logged drops) —
+                    (space, band, bucket, members, kept, dropped)
   metrics/          per-version dedup counters
                     (DeduplicationPipeline.h:40-43)
   lineage/          per-partition manifest rows (partition_id, version,
@@ -154,6 +157,70 @@ class DedupStore:
             .partitionBy(key)
             .parquet(self.path(table))
         )
+
+    # ------------------------------------------------- staged self-overwrite
+    def _stage_path(self, table: str, key: str, value) -> str:
+        return os.path.join(self.path(table), f".stage-{key}={value}")
+
+    def list_stages(self, table: str, key: str) -> list[int]:
+        """Pending staged overwrites (crashed write_partition_staged)."""
+        p = self.path(table)
+        if not os.path.exists(p):
+            return []
+        pre = f".stage-{key}="
+        return sorted(
+            int(e[len(pre):]) for e in os.listdir(p) if e.startswith(pre)
+        )
+
+    def recover_partition_stage(
+        self, table: str, key: str, value, delete_incomplete: bool = True
+    ) -> bool:
+        """Roll a crashed staged overwrite forward (or discard it).
+
+        A stage dir is COMPLETE iff Spark's job commit wrote ``_SUCCESS``.
+        If the target partition is missing and the stage is complete, the
+        crash happened between the swap's rmtree and rename — finish the
+        rename (the content is the full merged result). Otherwise the
+        stage is an incomplete or superseded leftover: discard it when
+        ``delete_incomplete`` (writers), leave it alone for read-only
+        callers (restore must not race a live writer's stage)."""
+        stage = self._stage_path(table, key, value)
+        target = os.path.join(self.path(table), f"{key}={value}")
+        if not os.path.exists(stage):
+            return False
+        complete = os.path.exists(os.path.join(stage, "_SUCCESS"))
+        if not os.path.exists(target) and complete:
+            os.rename(stage, target)
+            return True
+        if delete_incomplete:
+            shutil.rmtree(stage)
+        return False
+
+    def write_partition_staged(
+        self, df: DataFrame, table: str, key: str, value, sort_cols=None
+    ) -> None:
+        """Crash-safe overwrite for partitions whose CURRENT content feeds
+        the new content (self-overwrite, e.g. the archive-volume merge on
+        arrange's recovery path — ADVICE r03 medium). A plain
+        ``mode("overwrite")`` deletes the target before the job runs, so a
+        lost cache block would recompute from files being deleted; here
+        the Spark job only ever READS the live partition and writes a
+        hidden ``.stage-`` dir, then the swap is two renames. A crash
+        between them is rolled forward by ``recover_partition_stage``
+        (Iceberg analogue: snapshot commit — new files written first, the
+        metadata pointer swap is the atomic step)."""
+        stage = self._stage_path(table, key, value)
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        out = df.drop(key)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(stage)
+        assert os.path.exists(os.path.join(stage, "_SUCCESS")), stage
+        target = os.path.join(self.path(table), f"{key}={value}")
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(stage, target)
 
     def read_partitions(self, table: str, key: str, values: list) -> DataFrame | None:
         paths = [

@@ -99,6 +99,24 @@ def test_hot_bucket_cap_parity(spark):
     assert got == want
     # hot-bucket adversaries overflow cap=4 → non-empty drop log
     assert stats.where("dropped > 0").count() > 0
+    # VERDICT r03 wrong #2: the cheap count(*) drop log (map-side partial
+    # agg) must be bit-identical to the old count_distinct formulation
+    from pyspark.sql import functions as F
+
+    from mfdedup_spark.operators.lsh import explode_bands
+
+    old = (
+        explode_bands(sig)
+        .groupBy("space", "band", "bucket")
+        .agg(F.count_distinct("image_id").alias("members"))
+        .where(F.col("members") > cfg.bucket_cap)
+        .withColumn("kept", F.lit(cfg.bucket_cap))
+        .withColumn("dropped", F.col("members") - cfg.bucket_cap)
+    )
+    cols = ["space", "band", "bucket", "members", "kept", "dropped"]
+    got_stats = sorted(map(tuple, stats.select(*cols).collect()))
+    want_stats = sorted(map(tuple, old.select(*cols).collect()))
+    assert got_stats == want_stats
 
 
 @given(

