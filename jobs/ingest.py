@@ -31,7 +31,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--mode", default="dedup",
-                    choices=["signatures", "dedup", "ingest"])
+                    choices=["signatures", "dedup", "ingest",
+                             "restore_setup", "restore"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--warehouse", default="/tmp/mfdedup_warehouse")
     ap.add_argument("--fidelity", default="sampled", choices=["sampled", "full"])
@@ -66,6 +67,32 @@ def main() -> None:
     if images.rdd.getNumPartitions() < cpus:
         images = images.repartition(cpus)
     n = images.count()  # row count outside the timed section
+
+    def versioned_slices(df):
+        """Derive a deterministic 3-version backup series from the
+        single-version bench fixture, entirely in Spark (no 1M-row numpy
+        regeneration): versions overlap ~85% (→ AdjacentDedup) and each
+        introduces a fresh ~10-15% slice (→ Unique), keyed on the numeric
+        image_id suffix so every run derives the identical series."""
+        seq = F.regexp_replace("image_id", "[^0-9]", "").cast("long")
+        d = df.withColumn("seq_no", seq).withColumn(
+            "version", F.lit(0).cast("int")
+        )
+        cuts = {
+            1: [(0.00, 0.80)],
+            2: [(0.00, 0.68), (0.80, 0.90)],
+            3: [(0.00, 0.58), (0.68, 0.73), (0.90, 1.00)],
+        }
+        out = {}
+        for v, ranges in cuts.items():
+            cond = None
+            for lo, hi in ranges:
+                c = (F.col("seq_no") >= int(lo * n)) & (
+                    F.col("seq_no") < int(hi * n)
+                )
+                cond = c if cond is None else (cond | c)
+            out[v] = d.where(cond).withColumn("version", F.lit(v).cast("int"))
+        return out
 
     def run_signatures() -> None:
         from mfdedup_spark.functions.signatures import compute_signatures
@@ -149,6 +176,45 @@ def main() -> None:
         else:
             run_dedup(warm)
 
+    if args.mode == "restore_setup":
+        # one-time warehouse build for the restore scaling protocol: the
+        # derived 3-version series is deterministic, so every later timed
+        # restore run (at any core count) reuses this exact store
+        from mfdedup_spark.plans.ingest import ingest_version
+        from mfdedup_spark.store import DedupStore
+
+        store = DedupStore(spark, args.warehouse)
+        cfg = EngineConfig(warehouse=args.warehouse, signature=sig_cfg)
+        slices = versioned_slices(images)
+        done = store.read_manifest()["total_version"]
+        for v in (1, 2, 3):
+            if v > done:
+                ingest_version(store, slices[v], cfg)
+        print(json.dumps({
+            "mode": "restore_setup", "cpus": cpus, "rows": n,
+            "total_version": store.read_manifest()["total_version"],
+            "time_sec": 0, "images_per_sec": 0,
+        }))
+        return
+
+    restore_stats: dict = {}
+    if args.mode == "restore":
+        from mfdedup_spark.store import DedupStore
+
+        store = DedupStore(spark, args.warehouse)
+        assert store.read_manifest()["total_version"] >= 3, (
+            "run --mode restore_setup first"
+        )
+        # page-cache warm identical at every level: scan the pool +
+        # recipe partitions the timed restore will read
+        from mfdedup_spark.plans.restore import chunk_pool
+
+        pool, _ = chunk_pool(store, 2)
+        pool.select(F.sum(F.length("bytes"))).collect()
+        store.read_partitions("recipes", "version", [2]).select(
+            F.sum("length")
+        ).collect()
+
     stage_timings: dict = {}
     t0 = time.time()
     if args.mode == "signatures":
@@ -162,6 +228,12 @@ def main() -> None:
         store = DedupStore(spark, args.warehouse)
         cfg = EngineConfig(warehouse=args.warehouse, signature=sig_cfg)
         ingest_series(store, images, cfg)
+    elif args.mode == "restore":
+        from mfdedup_spark.plans.restore import restore_version
+
+        restored, restore_stats = restore_version(store, 2)
+        restored.write.format("noop").mode("overwrite").save()
+        n = restore_stats["rows"]  # throughput = restored rows/sec
 
     dt = time.time() - t0
     if args.mode == "dedup" and args.profile_stages:
@@ -178,6 +250,12 @@ def main() -> None:
     }
     if stage_timings:
         result["stages"] = stage_timings
+    if restore_stats:
+        result["read_amplification"] = round(
+            restore_stats["read_amplification"], 4
+        )
+        result["restored_bytes"] = restore_stats["restored_bytes"]
+        result["scanned_bytes"] = restore_stats["scanned_bytes"]
     line = json.dumps(result)
     print(line)
     if args.out:

@@ -415,6 +415,62 @@ def test_arrange_crash_resume(spark, series, tmp_path_factory, crash):
     assert store.list_partitions("chunk_store", "category") == [4, 5, 6]
 
 
+def test_retention_fall_behind_interaction(spark, tmp_path_factory):
+    """VERDICT r03 task 5: retention drops volumes by archive_version
+    assuming arrangement kept up — prove every retained version stays
+    byte-restorable through expire → fall-behind → catch-up arrange →
+    expire sequences, where dead chunks of expired versions sit in live
+    categories until a catch-up migrates them into a LATE volume (the
+    superset archive_version makes retained restores scan it, never miss
+    it)."""
+    pdf = generate_versioned(n_images=50, versions=6, seed=11)
+    p = str(tmp_path_factory.mktemp("rfb") / "img.parquet")
+    write_parquet(pdf, p)
+    images = spark.read.parquet(p)
+    wh = str(tmp_path_factory.mktemp("wh_rfb"))
+    store = DedupStore(spark, wh)
+    keep = 3
+
+    def check_all():
+        m = store.read_manifest()
+        oldest = m.get("oldest_version", 1)
+        for v in range(oldest, m["total_version"] + 1):
+            restored, stats = restore_version(store, v)
+            got = restored.toPandas().set_index("image_id")
+            orig = pdf[pdf["version"] == v].set_index("image_id")
+            assert stats["rows"] == len(orig), (v, stats)
+            for iid, row in orig.iterrows():
+                assert bytes(got.loc[iid, "bytes"]) == bytes(row["bytes"]), (v, iid)
+        for v in range(1, oldest):
+            with pytest.raises(AssertionError, match="not restorable"):
+                restore_version(store, v)
+
+    # arranged era: v1-v2 (volume 1 exists), then fall behind for v3-v4
+    # while retention expires v1 — its dead chunks are still in live cats
+    ingest_version(store, images.where("version=1"), CFG)
+    ingest_version(store, images.where("version=2"), CFG)
+    ingest_version(store, images.where("version=3"), CFG, apply_arrangement=False)
+    ingest_version(store, images.where("version=4"), CFG, apply_arrangement=False)
+    res = apply_retention(store, keep)
+    assert res["oldest_version"] == 2  # v1 expired mid-fall-behind
+    assert store.read_manifest()["arrangement_fall_behind"] == 2
+    check_all()
+
+    # catch-up arrange at v5 migrates the backlog (dead-at-5 chunks of
+    # expired v1 land in volume 4 — late, harmless), then expire again
+    ingest_version(store, images.where("version=5"), CFG)
+    assert store.read_manifest()["arrangement_fall_behind"] == 0
+    res = apply_retention(store, keep)
+    assert res["oldest_version"] == 3
+    check_all()
+
+    # one more expire after another fall-behind step
+    ingest_version(store, images.where("version=6"), CFG, apply_arrangement=False)
+    res = apply_retention(store, keep)
+    assert res["oldest_version"] == 4
+    check_all()
+
+
 def test_drop_log_persisted(spark, series, tmp_path_factory):
     """VERDICT r03 wrong #1: north_rule mandates capped buckets WITH
     logged drops — a versioned ingest run at a tiny cap over planted hot

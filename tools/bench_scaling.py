@@ -36,7 +36,7 @@ def build_zip() -> str:
 
 def run_once(
     cpus: int, zpath: str, input_path: str, mode: str, fidelity: str,
-    profile: bool = False, timeout: int = 1200,
+    profile: bool = False, timeout: int = 1200, warehouse: str | None = None,
 ) -> dict:
     cmd = [
         "spark-submit",
@@ -57,6 +57,8 @@ def run_once(
     ]
     if profile:
         cmd.append("--profile-stages")
+    if warehouse:
+        cmd += ["--warehouse", warehouse]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
     for line in out.stdout.splitlines():
         line = line.strip()
@@ -84,6 +86,19 @@ def main() -> int:
     zpath = build_zip()
     levels = [int(x) for x in args.levels.split(",")]
 
+    warehouse = None
+    if args.mode == "restore":
+        # the restore protocol times ONLY restore_version: the 3-version
+        # warehouse is built once (wide parallelism, untimed — cluster
+        # provisioning, not the measured job) and shared by every level
+        warehouse = f"/tmp/mfdedup_bench/wh_restore_{args.n}"
+        print(f"restore setup → {warehouse} (one-time)", flush=True)
+        setup = run_once(
+            32, zpath, input_path, "restore_setup", args.fidelity,
+            timeout=max(args.timeout, 5400), warehouse=warehouse,
+        )
+        print(f"warehouse at total_version={setup['total_version']}", flush=True)
+
     def cpu_stat() -> tuple[int, int]:
         parts = open("/proc/stat").readline().split()
         vals = list(map(int, parts[1:9]))
@@ -99,7 +114,7 @@ def main() -> int:
             r = run_once(
                 cpus, zpath, input_path, args.mode, args.fidelity,
                 profile=(rep == 0 and args.mode == "dedup"),
-                timeout=args.timeout,
+                timeout=args.timeout, warehouse=warehouse,
             )
             s1 = cpu_stat()
             dt, didle = s1[0] - s0[0], s1[1] - s0[1]
@@ -121,7 +136,9 @@ def main() -> int:
     # min across reps approximates the uncontended machine; medians shown too
     med = {c: statistics.median(r["time_sec"] for r in rs) for c, rs in results.items()}
     best = {c: min(r["time_sec"] for r in rs) for c, rs in results.items()}
-    ips = {c: args.n / best[c] for c in best}
+    # restore mode processes the v2 recipe rows, not the raw fixture count
+    n_rows = {c: results[c][0].get("rows", args.n) for c in results}
+    ips = {c: n_rows[c] / best[c] for c in best}
     lo, hi = min(levels), max(levels)
     eff = (best[lo] / best[hi]) / (hi / lo)
     eff_med = (med[lo] / med[hi]) / (hi / lo)
@@ -153,6 +170,12 @@ per-level MINIMUM approximates the uncontended machine. host_busy_frac
 
 All raw runs (seconds, with host-busy fraction):
 """)
+        if args.mode == "restore":
+            ra = results[levels[0]][0].get("read_amplification")
+            f.write(
+                f"\nRead amplification (scanned/restored bytes) = {ra} — "
+                "identical at every level (same pruned pool plan).\n\n"
+            )
         for c, rs in results.items():
             f.write(
                 f"- local[{c}]: "
