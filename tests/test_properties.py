@@ -153,3 +153,66 @@ def test_rabin_linearity_property(data):
     assert int(got[0]) == _rabin_slow(win) if len(got) == 1 else True
     # full-array check on the first window of the padded buffer
     assert _rabin_slow(win) in {int(v) for v in got}
+
+
+def test_connected_components_random_parity(spark):
+    """Star-contraction CC (r04) vs a driver-side union-find on random
+    graphs spanning the shapes the pipeline produces: pure anchor-stars,
+    cross-bucket chains, rings (diameter stress), and isolated vertices.
+    Labels must equal the exact per-component minimum in every case."""
+    import random
+
+    from mfdedup_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    rng = random.Random(1234)
+    for case in range(4):
+        n = 400
+        ids = [f"n{i:05d}" for i in range(n)]
+        edges = set()
+        if case == 0:  # anchor-stars
+            for s in range(0, n - 20, 20):
+                for m in range(1, rng.randint(2, 12)):
+                    edges.add((ids[s], ids[s + m]))
+        elif case == 1:  # stars + chains across buckets
+            for s in range(0, n - 10, 10):
+                for m in range(1, 6):
+                    edges.add((ids[s], ids[s + m]))
+                if s >= 10 and rng.random() < 0.5:
+                    edges.add((ids[s - 5], ids[s + 1]))
+        elif case == 2:  # one big ring (diameter n/2) + noise edges
+            for i in range(120):
+                edges.add((ids[i], ids[(i + 1) % 120]))
+            for _ in range(50):
+                a, b = rng.sample(range(n), 2)
+                edges.add((ids[min(a, b)], ids[max(a, b)]))
+        else:  # sparse random
+            for _ in range(150):
+                a, b = rng.sample(range(n), 2)
+                edges.add((ids[min(a, b)], ids[max(a, b)]))
+
+        # exact oracle: union-find, label = min id per component
+        parent = {v: v for v in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in ids}
+
+        pairs = spark.createDataFrame(
+            sorted(edges), ["image_id_a", "image_id_b"]
+        )
+        verts = spark.createDataFrame([(v,) for v in ids], ["image_id"])
+        got = {
+            r["image_id"]: r["cluster_id"]
+            for r in connected_components(pairs, verts, max_iter=200).collect()
+        }
+        assert got == want, f"case {case}"
