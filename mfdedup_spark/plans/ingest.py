@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mfdedup_spark.config import EngineConfig
@@ -105,19 +105,21 @@ def ingest_version(
     store.write_partition(recipes, "recipes", "version", v)
     timer.mark("write_recipes")
 
+    # within-version exact dups: keep one payload per fp (min image_id).
+    # The winner is decided METADATA-ONLY (groupBy on (fp, image_id) ids —
+    # identical semantics to the old row_number()=1 ordered by image_id),
+    # and payload bytes join in once afterwards: at N=1M the old shape
+    # OOMed the 24g heap window-sorting ~16 GB of binary rows per fp —
+    # the same payload-through-window anti-pattern VERDICT r01 removed
+    # from restore (r04 scale finding, jobs/ingest.py --mode restore_setup)
     unique_ids = classified.where("result = 'UNIQUE'").select("image_id", "fp")
     payload = images.select("image_id", "bytes", "phash")
+    winners = unique_ids.groupBy("fp").agg(F.min("image_id").alias("image_id"))
     new_chunks = (
-        unique_ids.join(payload, "image_id")
+        winners.join(payload, "image_id")
         .withColumn("length", F.length("bytes").cast("long"))
         .withColumn("first_version", F.lit(v).cast("int"))
-        # within-version exact dups: keep one payload per fp (min image_id)
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("fp").orderBy("image_id")),
-        )
-        .where("rk = 1")
-        .drop("rk", "image_id")
+        .drop("image_id")
         .persist()  # reused by the write AND the lineage agg — one compute
     )
     new_cat = v * (v + 1) // 2  # ChunkWriterManager.h:30
