@@ -56,6 +56,15 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: parquet row-group size for store writes. The default 128 MiB block
+#: makes every concurrent writer buffer a full group of raw binary
+#: payload in heap (ConcatenatingByteBufferCollector holds the whole
+#: chunk) — 32 write tasks x 128 MiB OOMed a 24 GiB heap during the 1M
+#: warehouse build (r04 scale finding). 32 MiB bounds writer memory to
+#: ~2 GiB at 32-way concurrency and gives restore scans 4x more
+#: row-group parallelism; raw image bytes gain nothing from big groups.
+PARQUET_BLOCK_BYTES = 32 * 1024 * 1024
+
 
 #: on-disk layout generation. 2 = recipes carry per-copy metadata
 #: (w/h/fmt/caption/phash) + length, chunk payloads carry length/phash/
@@ -136,7 +145,9 @@ class DedupStore:
         out = df.drop(key)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
-        out.write.mode("overwrite").parquet(target)
+        out.write.option(
+            "parquet.block.size", PARQUET_BLOCK_BYTES
+        ).mode("overwrite").parquet(target)
 
     def write_partitions(
         self, df: DataFrame, table: str, key: str, sort_cols=None
@@ -153,6 +164,7 @@ class DedupStore:
             out = out.sortWithinPartitions(F.col(key), *sort_cols)
         (
             out.write.mode("overwrite")
+            .option("parquet.block.size", PARQUET_BLOCK_BYTES)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(key)
             .parquet(self.path(table))
@@ -215,7 +227,9 @@ class DedupStore:
         out = df.drop(key)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
-        out.write.mode("overwrite").parquet(stage)
+        out.write.option(
+            "parquet.block.size", PARQUET_BLOCK_BYTES
+        ).mode("overwrite").parquet(stage)
         assert os.path.exists(os.path.join(stage, "_SUCCESS")), stage
         target = os.path.join(self.path(table), f"{key}={value}")
         if os.path.exists(target):
@@ -260,7 +274,9 @@ class DedupStore:
         """Stage the new index, then swap — tableRolling
         (MetadataManager.h:115-122) as an atomic directory rename."""
         staged = self.path(f"fp_index_{generation}_staging")
-        df.write.mode("overwrite").parquet(staged)
+        df.write.option(
+            "parquet.block.size", PARQUET_BLOCK_BYTES
+        ).mode("overwrite").parquet(staged)
 
     def roll_fp_index(self) -> None:
         prev = self.path("fp_index_prev")
