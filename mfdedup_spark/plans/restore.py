@@ -11,8 +11,13 @@ Spark the same query is:
       (shard-local window + broadcast bases)     only, never touches bytes
   ⋈ (live chunk_store ∪ archived volumes w≥v) -- partition pruning ≡ the
                                                  volume-prefix read plan
-  orderBy seq_no                              -- placement via sort, no
-                                                 random I/O
+  [orderBy seq_no — opt-in only]              -- placement rides the
+                                                 offset column (the
+                                                 reference pwrites at
+                                                 offsets, never sorts);
+                                                 a global sort is a 2nd
+                                                 full payload exchange,
+                                                 kept for seek-less sinks
 
 Scale design (100 TB):
 - Offsets are computed entirely from the recipe partition (which carries
@@ -189,15 +194,26 @@ def chunk_pool(store: DedupStore, v: int) -> tuple[DataFrame, list[str]]:
     return pool, scanned
 
 
-def restore_version(store: DedupStore, v: int) -> tuple[DataFrame, dict]:
-    """→ (restored rows in recipe order, stats incl. read amplification).
+def restore_version(
+    store: DedupStore, v: int, ordered: bool = False
+) -> tuple[DataFrame, dict]:
+    """→ (restored rows, stats incl. read amplification).
 
     Restored schema: (seq_no, image_id, offset, bytes, w, h, fmt, caption,
     phash) — image_id and all metadata come from the recipe row (dup
     copies restored under their own ids AND their own captions), payload
     fetched by fp like the reference's restoreMap fan-out
     (RestoreParserPipeline.h:128-137).
-    """
+
+    ``ordered=False`` (default) returns rows in join order: placement is
+    carried by the ``offset`` column, exactly the reference's model —
+    RestoreParserPipeline pwrites each chunk at its offset, it never
+    sorts. This keeps the payload to ONE shuffle (the fp join). The 1M
+    restore bench measured the former always-on ``orderBy(seq_no)`` as a
+    second full payload exchange that dominated wall time (the pure pool
+    scan scales 0.76 across 2→8 cores; the extra payload sort is pure
+    data movement). Pass ``ordered=True`` only for a single-stream
+    sequential sink that cannot seek."""
     manifest = store.read_manifest()
     oldest = manifest.get("oldest_version", 1)
     if not oldest <= v <= manifest["total_version"]:
@@ -212,14 +228,12 @@ def restore_version(store: DedupStore, v: int) -> tuple[DataFrame, dict]:
 
     pool, scanned_parts = chunk_pool(store, v)
 
-    restored = (
-        placed.join(pool.select("fp", "bytes"), "fp")
-        .select(
-            "seq_no", "image_id", "offset", "bytes", "w", "h", "fmt",
-            "caption", "phash",
-        )
-        .orderBy("seq_no")
+    restored = placed.join(pool.select("fp", "bytes"), "fp").select(
+        "seq_no", "image_id", "offset", "bytes", "w", "h", "fmt",
+        "caption", "phash",
     )
+    if ordered:
+        restored = restored.orderBy("seq_no")
 
     # stats from length metadata only — zero extra passes over payloads
     rrow = recipes.agg(

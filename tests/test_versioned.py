@@ -415,6 +415,25 @@ def test_arrange_crash_resume(spark, series, tmp_path_factory, crash):
     assert store.list_partitions("chunk_store", "category") == [4, 5, 6]
 
 
+def test_restore_ordered_mode(spark, ingested):
+    """ordered=True (the opt-in for seek-less sequential sinks) returns
+    rows globally sorted by seq_no with offsets monotone; the default
+    unordered mode carries identical placement in the offset column
+    (the reference's pwrite-at-offset model)."""
+    store, pdf, _ = ingested
+    restored, _ = restore_version(store, 3, ordered=True)
+    rows = restored.select("seq_no", "offset").collect()
+    seqs = [r["seq_no"] for r in rows]
+    assert seqs == sorted(seqs)
+    offs = [r["offset"] for r in rows]
+    assert offs == sorted(offs)
+    # unordered mode: same (seq_no → offset) placement map
+    un, _ = restore_version(store, 3)
+    assert {(r["seq_no"], r["offset"]) for r in un.select("seq_no", "offset").collect()} == set(
+        map(tuple, rows)
+    )
+
+
 def test_retention_fall_behind_interaction(spark, tmp_path_factory):
     """VERDICT r03 task 5: retention drops volumes by archive_version
     assuming arrangement kept up — prove every retained version stays
