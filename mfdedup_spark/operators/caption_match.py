@@ -89,7 +89,7 @@ def caption_gram_buckets(
 
 
 def caption_pairs(
-    images: DataFrame, cfg: SignatureConfig
+    images: DataFrame, cfg: SignatureConfig, pin: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """→ (verified caption pairs, overflow bucket stats). Blocking is
     bounded to cfg.caption_max_grams keys per caption by default
@@ -99,7 +99,7 @@ def caption_pairs(
         images, cfg, max_grams_per_caption=cfg.caption_max_grams
     )
     cand, stats = anchor_star_pairs(
-        buckets, cfg, key_cols=["bucket"], id_col="image_id"
+        buckets, cfg, key_cols=["bucket"], id_col="image_id", pin=pin
     )
     caps = images.select("image_id", "caption")
     joined = (

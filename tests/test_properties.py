@@ -119,6 +119,71 @@ def test_hot_bucket_cap_parity(spark):
     assert got_stats == want_stats
 
 
+def test_capped_pairs_single_pass(spark):
+    """VERDICT r04 wrong #2: with a pinned shared intermediate,
+    materializing BOTH the pairs and the drop-log stats computes the
+    exploded input exactly ONCE (the stats derive from the level-1
+    window output, and the pin caches it across the two actions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from mfdedup_spark.operators.lsh import capped_pairs
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(LongType())
+    def probe(x):
+        acc.add(1)
+        return x
+
+    n = 200
+    base = spark.range(n).select(
+        (F.col("id") % 10).alias("bucket"),
+        F.format_string("id%04d", F.col("id")).alias("doc_id"),
+    )
+    exploded = base.withColumn("bucket", probe("bucket"))
+
+    pins: list = []
+    pairs, stats = capped_pairs(
+        exploded, cap=3, salt_buckets=2, key_cols=("bucket",),
+        id_col="doc_id", pin=pins,
+    )
+    pairs.count()
+    rows = stats.collect()
+    assert acc.value == n, (
+        f"exploded input computed {acc.value / n:.1f}x, expected once"
+    )
+    for p in pins:
+        p.unpersist()
+    # 10 uniform buckets of 20 members, cap 3 → every bucket overflows
+    assert len(rows) == 10
+    for r in rows:
+        assert (r["members"], r["kept"], r["dropped"]) == (20, 3, 17)
+
+
+def test_version_metrics_all_duplicate(spark):
+    """VERDICT r04 wrong #4: a version whose every chunk is INTERNAL/
+    ADJACENT (unique_len = 0) gets the defined dedup_ratio = +inf —
+    matching the numpy oracle's convention — instead of a division
+    blow-up or null."""
+    import math
+
+    from mfdedup_spark.operators.classification import version_metrics
+
+    classified = spark.createDataFrame(
+        [
+            (f"i{j}", 1, j, 100, f"fp{j % 2}",
+             "INTERNAL" if j > 1 else "ADJACENT")
+            for j in range(4)
+        ],
+        "image_id string, version int, seq_no long, length long, "
+        "fp string, result string",
+    )
+    row = version_metrics(classified).collect()[0]
+    assert row["unique_len"] == 0
+    assert math.isinf(row["dedup_ratio"]) and row["dedup_ratio"] > 0
+
+
 @given(
     x=st.integers(min_value=1, max_value=100_000),
     y=st.integers(min_value=1, max_value=100_000),
