@@ -25,6 +25,13 @@ def main() -> None:
     ap.add_argument("--version", type=int, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--retention", type=int, default=2)
+    ap.add_argument(
+        "--ordered",
+        action="store_true",
+        help="sort restored output by seq_no (a second full payload "
+        "exchange — placement normally rides the offset column; use for "
+        "seek-less sequential sinks)",
+    )
     args = ap.parse_args()
 
     if args.task == "init":
@@ -72,7 +79,7 @@ def main() -> None:
     elif args.task == "restore":
         from mfdedup_spark.plans.restore import restore_version
 
-        restored, stats = restore_version(store, args.version)
+        restored, stats = restore_version(store, args.version, ordered=args.ordered)
         if args.out:
             restored.write.mode("overwrite").parquet(args.out)
         stats.pop("scanned_partitions", None)

@@ -209,7 +209,7 @@ def main() -> None:
         # recipe partitions the timed restore will read
         from mfdedup_spark.plans.restore import chunk_pool
 
-        pool, _ = chunk_pool(store, 2)
+        pool, _, _ = chunk_pool(store, 2)
         pool.select(F.sum(F.length("bytes"))).collect()
         store.read_partitions("recipes", "version", [2]).select(
             F.sum("length")
@@ -254,8 +254,12 @@ def main() -> None:
         result["read_amplification"] = round(
             restore_stats["read_amplification"], 4
         )
+        result["read_amplification_pruned"] = round(
+            restore_stats["read_amplification_pruned"], 4
+        )
         result["restored_bytes"] = restore_stats["restored_bytes"]
         result["scanned_bytes"] = restore_stats["scanned_bytes"]
+        result["scanned_bytes_pruned"] = restore_stats["scanned_bytes_pruned"]
     line = json.dumps(result)
     print(line)
     if args.out:

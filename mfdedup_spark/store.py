@@ -208,6 +208,23 @@ class DedupStore:
             shutil.rmtree(stage)
         return False
 
+    def read_stage_partition(self, table: str, key: str, value) -> DataFrame | None:
+        """Read a COMPLETE crashed stage IN PLACE — the non-mutating
+        reader view of a mid-swap crash (ADVICE r04: the old reader-path
+        recover renamed the stage dir, so a restore racing a live
+        arrange's swap could make the writer's own rename fail). Returns
+        None when the target partition exists (the stage is a superseded
+        leftover) or the stage is incomplete (no ``_SUCCESS``); rolling
+        the stage forward remains exclusively the writer's job
+        (``recover_partition_stage``)."""
+        stage = self._stage_path(table, key, value)
+        target = os.path.join(self.path(table), f"{key}={value}")
+        if os.path.exists(target) or not os.path.exists(
+            os.path.join(stage, "_SUCCESS")
+        ):
+            return None
+        return self.spark.read.parquet(stage).withColumn(key, F.lit(value))
+
     def write_partition_staged(
         self, df: DataFrame, table: str, key: str, value, sort_cols=None
     ) -> None:

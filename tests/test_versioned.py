@@ -234,7 +234,7 @@ def test_restore_pool_fp_unique(ingested):
 
     store, pdf, _ = ingested
     for v in (1, 2, 3):
-        pool, _ = chunk_pool(store, v)
+        pool, _, _ = chunk_pool(store, v)
         assert pool.count() == pool.select("fp").distinct().count(), v
 
 
@@ -402,7 +402,7 @@ def test_arrange_crash_resume(spark, series, tmp_path_factory, crash):
     assert not res["skipped"]
 
     for v in (1, 2, 3):
-        pool, _ = chunk_pool(store, v)
+        pool, _, _ = chunk_pool(store, v)
         assert pool.count() == pool.select("fp").distinct().count(), (crash, v)
         restored, stats = restore_version(store, v)
         got = restored.toPandas().set_index("image_id")
@@ -522,11 +522,11 @@ def test_drop_log_persisted(spark, series, tmp_path_factory):
 def test_staged_swap_roll_forward(spark, series, tmp_path_factory):
     """The staged archive swap's own crash window (ADVICE r03 medium):
     a kill between the swap's rmtree(target) and rename(stage→target)
-    leaves a complete ``.stage-`` dir and no target. Both the next
-    arrange (destructive recover) and a concurrent restore
-    (non-destructive recover in chunk_pool) must roll it forward; an
-    INCOMPLETE stage (no _SUCCESS) must be ignored by readers and
-    discarded by writers."""
+    leaves a complete ``.stage-`` dir and no target. A concurrent
+    restore reads the stage IN PLACE without renaming (ADVICE r04: a
+    reader-side rename could race a live arrange's own swap); only the
+    writer-path recover rolls it forward. An INCOMPLETE stage (no
+    _SUCCESS) must be ignored by readers and discarded by writers."""
     path, pdf = series
     wh = str(tmp_path_factory.mktemp("wh_stage"))
     store = DedupStore(spark, wh)
@@ -541,9 +541,15 @@ def test_staged_swap_roll_forward(spark, series, tmp_path_factory):
     os.rename(vol, stage)
     assert store.list_partitions("archived", "archive_version") == []
     assert store.list_stages("archived", "archive_version") == [1]
-    restored, stats = restore_version(store, 1)  # rolls forward, reads it
+    restored, stats = restore_version(store, 1)  # reads the stage in place
     assert stats["rows"] == len(pdf[pdf["version"] == 1])
+    # the reader mutated NOTHING: stage still pending, target still absent
+    assert os.path.exists(stage) and not os.path.exists(vol)
+    # writer-path recover (the next arrange) rolls it forward
+    assert store.recover_partition_stage("archived", "archive_version", 1) is True
     assert os.path.exists(vol) and not os.path.exists(stage)
+    _, stats = restore_version(store, 1)  # rolled-forward volume reads fine
+    assert stats["rows"] == len(pdf[pdf["version"] == 1])
 
     # incomplete stage next to a live target: readers skip, writers drop
     os.makedirs(stage)
