@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--profile-stages", action="store_true",
                     help="after the timed e2e, run an instrumented pass "
                     "attributing wall time per pipeline stage")
+    ap.add_argument("--stage-metrics", action="store_true",
+                    help="report per-stage input/shuffle byte volumes for "
+                    "the timed section from the driver's status REST API "
+                    "(requires spark.ui.enabled=true); the byte-level "
+                    "account of where the wall time goes")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -215,6 +220,27 @@ def main() -> None:
             F.sum("length")
         ).collect()
 
+    def fetch_stages(spark) -> list[dict]:
+        """All stage attempts from the driver's own status REST API
+        (empty when the UI is disabled)."""
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return []
+        app_id = spark.sparkContext.applicationId
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages", timeout=10
+            ) as r:
+                return json.load(r)
+        except Exception:
+            return []
+
+    pre_stage_ids = (
+        {s["stageId"] for s in fetch_stages(spark)} if args.stage_metrics else set()
+    )
+
     stage_timings: dict = {}
     t0 = time.time()
     if args.mode == "signatures":
@@ -250,6 +276,41 @@ def main() -> None:
     }
     if stage_timings:
         result["stages"] = stage_timings
+    if args.stage_metrics:
+        # byte-level account of the TIMED section only (stages that
+        # started before t0 — setup, warmup, cache-warm scans — are
+        # excluded): the reference's restore-at-IO-speed framing
+        # (RestoreWritePipeline.h:124) demands knowing how many bytes
+        # each stage actually moved, not just the wall clock
+        stages = [
+            s for s in fetch_stages(spark)
+            if s["stageId"] not in pre_stage_ids and s["status"] == "COMPLETE"
+        ]
+        rows = [
+            {
+                "stage": s["stageId"],
+                "name": s.get("name", "").split("\n")[0][:90],
+                "input_bytes": s.get("inputBytes", 0),
+                "output_bytes": s.get("outputBytes", 0),
+                "shuffle_read_bytes": s.get("shuffleReadBytes", 0),
+                "shuffle_write_bytes": s.get("shuffleWriteBytes", 0),
+                "executor_run_ms": s.get("executorRunTime", 0),
+                "tasks": s.get("numCompleteTasks", 0),
+            }
+            for s in stages
+        ]
+        rows.sort(key=lambda r: r["executor_run_ms"], reverse=True)
+        result["stage_io"] = {
+            "totals": {
+                k: sum(r[k] for r in rows)
+                for k in (
+                    "input_bytes", "output_bytes",
+                    "shuffle_read_bytes", "shuffle_write_bytes",
+                    "executor_run_ms",
+                )
+            },
+            "stages": rows,
+        }
     if restore_stats:
         result["read_amplification"] = round(
             restore_stats["read_amplification"], 4

@@ -63,6 +63,57 @@ def iceberg_available() -> bool:
         return False
 
 
+# --------------------------------------------------------------------------
+# SQL construction, split out as pure functions so the DDL/DML this class
+# would issue is unit-testable WITHOUT a jar (VERDICT r04 task 6: the
+# class's first execution must not be its first syntax check). Each takes
+# already-qualified table names; IcebergStore supplies them via _tbl().
+def create_namespace_sql(namespace_fqn: str) -> str:
+    return f"CREATE NAMESPACE IF NOT EXISTS {namespace_fqn}"
+
+
+def create_table_ddl(table_fqn: str, fields: list[tuple[str, str]], key: str) -> str:
+    """CREATE TABLE ... USING iceberg PARTITIONED BY (key); ``fields`` is
+    [(column, spark simpleString type), ...] from a DataFrame schema."""
+    cols = ", ".join(f"{name} {dtype}" for name, dtype in fields)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table_fqn} ({cols}) "
+        f"USING iceberg PARTITIONED BY ({key})"
+    )
+
+
+def create_manifest_ddl(table_fqn: str) -> str:
+    return f"CREATE TABLE {table_fqn} (body string) USING iceberg"
+
+
+def insert_overwrite_from_view_sql(table_fqn: str, view: str) -> str:
+    return f"INSERT OVERWRITE {table_fqn} SELECT * FROM {view}"
+
+
+def list_partitions_sql(table_fqn: str, key: str) -> str:
+    """Query the ``.partitions`` metadata table — a pure metadata read."""
+    return f"SELECT partition.{key} AS v FROM {table_fqn}.partitions"
+
+
+def delete_partition_dml(table_fqn: str, key: str, value: int) -> str:
+    """A DELETE wholly aligned to identity partitions: Iceberg drops the
+    partition's data files from the snapshot without rewriting any."""
+    return f"DELETE FROM {table_fqn} WHERE {key} = {int(value)}"
+
+
+def roll_fp_index_sql(prev_fqn: str, staging_fqn: str) -> list[str]:
+    """tableRolling (MetadataManager.h:115-122) on Iceberg: promote the
+    staged index in one atomic replace, then drop the staging table —
+    the same stage-then-roll visibility order as DedupStore's directory
+    rename (ADVICE r04: the old no-op roll made a new index visible
+    before any roll)."""
+    return [
+        f"CREATE OR REPLACE TABLE {prev_fqn} USING iceberg "
+        f"AS SELECT * FROM {staging_fqn}",
+        f"DROP TABLE IF EXISTS {staging_fqn}",
+    ]
+
+
 class IcebergStore:
     """DedupStore's contract against a real Iceberg catalog.
 
@@ -101,7 +152,7 @@ class IcebergStore:
         self.catalog = catalog
         self.namespace = namespace
         self.root = f"{catalog}.{namespace}"
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.root}")
+        spark.sql(create_namespace_sql(self.root))
 
     @staticmethod
     def configure_builder(
@@ -128,13 +179,8 @@ class IcebergStore:
         return f"{self.root}.{table}"
 
     def _ensure_table(self, df: DataFrame, table: str, key: str) -> None:
-        cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self._tbl(table)} ({cols}) "
-            f"USING iceberg PARTITIONED BY ({key})"
-        )
+        fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        self.spark.sql(create_table_ddl(self._tbl(table), fields, key))
 
     def exists(self, table: str) -> bool:
         return self.spark.catalog.tableExists(self._tbl(table))
@@ -144,6 +190,11 @@ class IcebergStore:
         if not self.exists("manifest"):
             return {"total_version": 0, "arrangement_fall_behind": 0}
         row = self.spark.table(self._tbl("manifest")).first()
+        if row is None:
+            # crash window between CREATE TABLE and the first INSERT
+            # OVERWRITE: an existing-but-empty manifest is a fresh store,
+            # not a TypeError (ADVICE r04)
+            return {"total_version": 0, "arrangement_fall_behind": 0}
         m = json.loads(row["body"])
         fmt = m.get("format", 1)
         if fmt != STORE_FORMAT:
@@ -159,14 +210,12 @@ class IcebergStore:
         body = json.dumps({**m, "format": STORE_FORMAT})
         df = self.spark.createDataFrame([(body,)], "body string")
         if not self.exists("manifest"):
-            self.spark.sql(
-                f"CREATE TABLE {self._tbl('manifest')} (body string) "
-                "USING iceberg"
-            )
+            self.spark.sql(create_manifest_ddl(self._tbl("manifest")))
         df.createOrReplaceTempView("_mf_manifest_stage")
         self.spark.sql(
-            f"INSERT OVERWRITE {self._tbl('manifest')} "
-            "SELECT * FROM _mf_manifest_stage"
+            insert_overwrite_from_view_sql(
+                self._tbl("manifest"), "_mf_manifest_stage"
+            )
         )
 
     # --------------------------------------------------------------- tables
@@ -214,9 +263,7 @@ class IcebergStore:
         if not self.exists(table):
             return []
         # the partitions metadata table: a pure metadata read, no scan
-        rows = self.spark.sql(
-            f"SELECT partition.{key} AS v FROM {self._tbl(table)}.partitions"
-        ).collect()
+        rows = self.spark.sql(list_partitions_sql(self._tbl(table), key)).collect()
         return sorted(int(r["v"]) for r in rows)
 
     def drop_partition(self, table: str, key: str, value) -> bool:
@@ -224,9 +271,7 @@ class IcebergStore:
         drops data files from the snapshot without rewriting any."""
         if not self.exists(table) or value not in self.list_partitions(table, key):
             return False
-        self.spark.sql(
-            f"DELETE FROM {self._tbl(table)} WHERE {key} = {int(value)}"
-        )
+        self.spark.sql(delete_partition_dml(self._tbl(table), key, value))
         return True
 
     # ---------------------------------------------- append-only side tables
@@ -280,13 +325,24 @@ class IcebergStore:
     def recover_partition_stage(self, *a, **k) -> bool:
         return False
 
-    # fp_index generation helpers (tableRolling analogue): the directory
-    # emulation stages + renames; on Iceberg the overwrite commit suffices
+    def read_stage_partition(self, table: str, key: str, value) -> None:
+        """No crashed stages can exist under snapshot commits."""
+        return None
+
+    # fp_index generation helpers — the SAME stage-then-roll visibility
+    # order as DedupStore (ADVICE r04: the old implementation wrote
+    # fp_index_prev directly with roll a no-op, so a new index became
+    # visible before any roll): write_fp_index stages into
+    # ``fp_index_<generation>_staging``; roll_fp_index promotes it to
+    # ``fp_index_prev`` in one atomic CREATE OR REPLACE commit
     def write_fp_index(self, df: DataFrame, generation: str = "next") -> None:
-        df.writeTo(self._tbl("fp_index_prev")).createOrReplace()
+        df.writeTo(self._tbl(f"fp_index_{generation}_staging")).createOrReplace()
 
     def roll_fp_index(self) -> None:
-        pass
+        for stmt in roll_fp_index_sql(
+            self._tbl("fp_index_prev"), self._tbl("fp_index_next_staging")
+        ):
+            self.spark.sql(stmt)
 
     def read_fp_index(self) -> DataFrame | None:
         return (

@@ -557,3 +557,90 @@ def test_iceberg_store_integration(spark, tmp_path):
     for v in (1, 2):
         restored, stats = restore_version(store, v)
         assert stats["rows"] == len(pdf[pdf["version"] == v])
+
+
+def test_iceberg_sql_construction():
+    """VERDICT r04 task 6: the exact DDL/DML strings IcebergStore would
+    issue, unit-tested without a jar so the class has a tested surface
+    before first contact with real infra."""
+    from pyspark.sql import types as T
+
+    from mfdedup_spark.iceberg_store import (
+        create_manifest_ddl,
+        create_namespace_sql,
+        create_table_ddl,
+        delete_partition_dml,
+        insert_overwrite_from_view_sql,
+        list_partitions_sql,
+        roll_fp_index_sql,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("fp", T.LongType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("category", T.IntegerType()),
+        ]
+    )
+    fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    assert create_table_ddl("mfdedup.dedup.chunk_store", fields, "category") == (
+        "CREATE TABLE IF NOT EXISTS mfdedup.dedup.chunk_store "
+        "(fp bigint, bytes binary, length bigint, category int) "
+        "USING iceberg PARTITIONED BY (category)"
+    )
+    assert create_namespace_sql("mfdedup.dedup") == (
+        "CREATE NAMESPACE IF NOT EXISTS mfdedup.dedup"
+    )
+    assert create_manifest_ddl("mfdedup.dedup.manifest") == (
+        "CREATE TABLE mfdedup.dedup.manifest (body string) USING iceberg"
+    )
+    assert insert_overwrite_from_view_sql(
+        "mfdedup.dedup.manifest", "_mf_manifest_stage"
+    ) == ("INSERT OVERWRITE mfdedup.dedup.manifest SELECT * FROM _mf_manifest_stage")
+    # partitions metadata table — pure metadata, no scan
+    assert list_partitions_sql("mfdedup.dedup.archived", "archive_version") == (
+        "SELECT partition.archive_version AS v "
+        "FROM mfdedup.dedup.archived.partitions"
+    )
+    # identity-partition-aligned DELETE — metadata-only file drop
+    assert delete_partition_dml("mfdedup.dedup.archived", "archive_version", 7) == (
+        "DELETE FROM mfdedup.dedup.archived WHERE archive_version = 7"
+    )
+    # stage-then-roll (ADVICE r04): promote staging atomically, then drop
+    assert roll_fp_index_sql(
+        "mfdedup.dedup.fp_index_prev", "mfdedup.dedup.fp_index_next_staging"
+    ) == [
+        "CREATE OR REPLACE TABLE mfdedup.dedup.fp_index_prev USING iceberg "
+        "AS SELECT * FROM mfdedup.dedup.fp_index_next_staging",
+        "DROP TABLE IF EXISTS mfdedup.dedup.fp_index_next_staging",
+    ]
+
+
+def test_iceberg_read_manifest_empty_table():
+    """ADVICE r04: a manifest table that exists but is EMPTY (crash
+    between CREATE TABLE and the first INSERT OVERWRITE) reads as a
+    fresh store, not a TypeError on the missing row."""
+    from mfdedup_spark.iceberg_store import IcebergStore
+
+    class _EmptyTable:
+        def first(self):
+            return None
+
+    class _Catalog:
+        def tableExists(self, fqn):
+            return True
+
+    class _FakeSpark:
+        catalog = _Catalog()
+
+        def table(self, fqn):
+            return _EmptyTable()
+
+    s = IcebergStore.__new__(IcebergStore)
+    s.spark, s.catalog, s.namespace = _FakeSpark(), "c", "n"
+    s.root = "c.n"
+    assert s.read_manifest() == {
+        "total_version": 0,
+        "arrangement_fall_behind": 0,
+    }
