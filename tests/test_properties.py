@@ -120,10 +120,11 @@ def test_hot_bucket_cap_parity(spark):
 
 
 def test_capped_pairs_single_pass(spark):
-    """VERDICT r04 wrong #2: with a pinned shared intermediate,
-    materializing BOTH the pairs and the drop-log stats computes the
-    exploded input exactly ONCE (the stats derive from the level-1
-    window output, and the pin caches it across the two actions)."""
+    """VERDICT r04 wrong #2: with a pinned shared input, materializing
+    BOTH the pairs and the drop-log stats computes the exploded input
+    exactly ONCE (the pin persists it across the two actions; fusing
+    the stats into the level-1 window instead would defeat the
+    WindowGroupLimit hot-bucket prune — see capped_pairs docstring)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
@@ -159,6 +160,28 @@ def test_capped_pairs_single_pass(spark):
     assert len(rows) == 10
     for r in rows:
         assert (r["members"], r["kept"], r["dropped"]) == (20, 3, 17)
+
+
+def test_capped_pairs_window_group_limit(spark):
+    """The level-1 rank filter must compile to WindowGroupLimit — the
+    map-side prune that keeps a hot bucket's rows from flooding the
+    level-1 shuffle. This is exactly why the drop-log stats are NOT
+    fused into the window as a second frame (any whole-partition window
+    function would disable the pushdown); a regression here silently
+    turns hot buckets back into full-shuffle skew at scale."""
+    from pyspark.sql import functions as F
+
+    from mfdedup_spark.operators.lsh import capped_pairs
+
+    exploded = spark.range(100).select(
+        (F.col("id") % 5).alias("bucket"),
+        F.format_string("id%04d", F.col("id")).alias("doc_id"),
+    )
+    pairs, _ = capped_pairs(
+        exploded, cap=3, salt_buckets=2, key_cols=("bucket",), id_col="doc_id"
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_version_metrics_all_duplicate(spark):
