@@ -10,7 +10,15 @@ Spark the same query is:
     + TWO-PHASE distributed prefix sum        -- the offset map, metadata
       (shard-local window + broadcast bases)     only, never touches bytes
   ⋈ (live chunk_store ∪ archived volumes w≥v) -- partition pruning ≡ the
-                                                 volume-prefix read plan
+                                                 volume-prefix read plan;
+                                                 the offsets map
+                                                 BROADCASTS to the
+                                                 payload scan (zero
+                                                 payload exchanges — the
+                                                 reference's in-memory
+                                                 restoreMap) up to
+                                                 BROADCAST_RECIPES_MAX_
+                                                 ROWS, fp-shuffle beyond
   [orderBy seq_no — opt-in only]              -- placement rides the
                                                  offset column (the
                                                  reference pwrites at
@@ -54,6 +62,15 @@ from mfdedup_spark.store import DedupStore
 #: rows per prefix-sum shard — bounds any single window task; 64 Ki rows
 #: of (seq_no, length) metadata is ~1 MB per task at any corpus size
 PREFIX_SHARD = 65536
+
+#: recipe-side rows up to which the offsets map is BROADCAST to the
+#: payload scan (~150 B/row of metadata → ≲600 MB at the cap, well
+#: inside executor memory). Below the cap restore performs ZERO payload
+#: exchanges — the exact analogue of the reference's per-node in-memory
+#: restoreMap (RestoreParserPipeline.h:128-137); above it the plan falls
+#: back to the fp-keyed shuffle join (the 100-TB-safe path, same
+#: corpus-proportional routing idea as annops.embedding_neardup_auto)
+BROADCAST_RECIPES_MAX_ROWS = 4_000_000
 
 #: recipe metadata carried per restored row. Restore returns each
 #: record's OWN caption/w/h/fmt/phash (two records with identical bytes
@@ -212,7 +229,10 @@ def chunk_pool(
 
 
 def restore_version(
-    store: DedupStore, v: int, ordered: bool = False
+    store: DedupStore,
+    v: int,
+    ordered: bool = False,
+    broadcast_recipes: bool | None = None,
 ) -> tuple[DataFrame, dict]:
     """→ (restored rows, stats incl. read amplification).
 
@@ -225,12 +245,22 @@ def restore_version(
     ``ordered=False`` (default) returns rows in join order: placement is
     carried by the ``offset`` column, exactly the reference's model —
     RestoreParserPipeline pwrites each chunk at its offset, it never
-    sorts. This keeps the payload to ONE shuffle (the fp join). The 1M
-    restore bench measured the former always-on ``orderBy(seq_no)`` as a
-    second full payload exchange that dominated wall time (the pure pool
-    scan scales 0.76 across 2→8 cores; the extra payload sort is pure
-    data movement). Pass ``ordered=True`` only for a single-stream
-    sequential sink that cannot seek."""
+    sorts. Pass ``ordered=True`` only for a single-stream sequential
+    sink that cannot seek.
+
+    ``broadcast_recipes`` (default: auto at BROADCAST_RECIPES_MAX_ROWS)
+    picks the join strategy for payload ⋈ offsets:
+    - True  → the placed-recipe map (metadata only) broadcasts to the
+      payload scan: restore becomes scan → hash probe → sink with ZERO
+      payload exchanges — the Spark re-expression of the reference's
+      in-memory per-node restoreMap, which never moves a chunk between
+      nodes either. The r05 separate-JVM campaign measured the former
+      always-on fp shuffle as ~2/3 of restore wall (15 GB written+read
+      for a 17 GB restore) and showed it saturating the single host's
+      transport at 1 worker already (BENCH/BASELINE_restore_cluster.md).
+    - False → fp-keyed shuffle join: the 100-TB-safe path when one
+      version's recipe map outgrows executor memory.
+    """
     manifest = store.read_manifest()
     oldest = manifest.get("oldest_version", 1)
     if not oldest <= v <= manifest["total_version"]:
@@ -245,18 +275,26 @@ def restore_version(
 
     pool, scanned_parts, pool_all = chunk_pool(store, v)
 
-    restored = placed.join(pool.select("fp", "bytes"), "fp").select(
-        "seq_no", "image_id", "offset", "bytes", "w", "h", "fmt",
-        "caption", "phash",
-    )
-    if ordered:
-        restored = restored.orderBy("seq_no")
-
-    # stats from length metadata only — zero extra passes over payloads
+    # stats from length metadata only — zero extra passes over payloads;
+    # computed before the join so the row count can route the strategy
     rrow = recipes.agg(
         F.count("*").alias("n"), F.sum("length").alias("b")
     ).first()
     n_recipe, restored_bytes = rrow["n"], int(rrow["b"] or 0)
+
+    if broadcast_recipes is None:
+        broadcast_recipes = n_recipe <= BROADCAST_RECIPES_MAX_ROWS
+    placed_side = F.broadcast(placed) if broadcast_recipes else placed
+    restored = (
+        pool.select("fp", "bytes")
+        .join(placed_side, "fp")
+        .select(
+            "seq_no", "image_id", "offset", "bytes", "w", "h", "fmt",
+            "caption", "phash",
+        )
+    )
+    if ordered:
+        restored = restored.orderBy("seq_no")
     # coverage + uniqueness check WITHOUT materializing the payload join
     # (VERDICT r02 wrong #2 double-pass): one fp-only metadata job counts
     # recipe fps with no pool payload (missing → restore would drop rows)

@@ -118,6 +118,29 @@ def test_restore_correctness(ingested):
         assert np.array_equal(offs[1:], np.cumsum(lens)[:-1])
 
 
+def test_restore_join_route_parity(ingested):
+    """The broadcast-recipes route (zero payload exchanges — the
+    reference's in-memory restoreMap re-expressed) must return exactly
+    the rows of the fp-shuffle route, and its plan must actually carry
+    a broadcast join on the payload side."""
+    store, pdf, _ = ingested
+
+    def rows_of(df):
+        return sorted(
+            (r["seq_no"], r["image_id"], r["offset"], bytes(r["bytes"]),
+             r["caption"])
+            for r in df.collect()
+        )
+
+    for v in (1, 2, 3):
+        r_bc, s_bc = restore_version(store, v, broadcast_recipes=True)
+        r_sh, s_sh = restore_version(store, v, broadcast_recipes=False)
+        assert rows_of(r_bc) == rows_of(r_sh), v
+        assert s_bc["rows"] == s_sh["rows"] == len(pdf[pdf["version"] == v])
+    plan = r_bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_read_amplification_after_arrangement(ingested):
     """Fully-arranged restore of the latest version reads ≈ only live
     bytes (RestoreParserPipeline.h:86 target ≈ 1)."""
