@@ -15,11 +15,13 @@ touches. Exploit that in two stages:
 2. **Iteration on the contracted graph** — edges between distinct
    representatives (la ≠ lb) form a graph whose vertex count is
    ~#buckets, not ~#images; the hash-to-min loop (two hops per
-   materialized round, bit_xor fingerprint convergence with an exact
-   changed-count confirm) runs there, where labels are small enough for
+   materialized round, exact changed-label-count convergence — one
+   action per round) runs there, where labels are small enough for
    AQE to broadcast and every round is cheap. Final labels compose:
    cluster(v) = clab(l1(v)), falling back to l1(v) for representatives
-   with no cross-bucket edge.
+   with no cross-bucket edge. All checkpoints are lazy, so the first
+   convergence count materializes the whole prologue in one job (r05:
+   at bench scale CC cost is driver job ROUNDS, not data).
 
 Correctness (exact, not approximate): the component minimum m satisfies
 l1(m) = m (m is ≤ all its neighbors), so m survives contraction and is
@@ -47,26 +49,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _fingerprint(df) -> tuple:
-    """Order-insensitive label-set fingerprint — one action per iteration
-    that both materializes the (lazy) checkpoint and tests convergence,
-    instead of a checkpoint job + a diff-join job."""
-    row = df.agg(
-        F.expr("bit_xor(xxhash64(image_id, cluster_id))").alias("x"),
-        F.count("*").alias("n"),
-    ).collect()[0]
-    return (row["x"], row["n"])
-
-
 def _iterate_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
     """Hash-to-min label propagation over (src, dst) edges (both
     directions present). Returns (image_id, cluster_id) for every edge
-    endpoint. Convergence = fingerprint match confirmed by an exact
-    changed-label count (a 64-bit collision must not return unconverged
-    labels; the confirm join runs once per converged call)."""
+    endpoint.
+
+    Convergence is ONE action per round (r05: the contracted loop is
+    job-latency-bound, so driver rounds are the unit of cost): the exact
+    changed-label count — a join of consecutive label sets on the
+    contracted vertices, broadcast-sized — both materializes the lazy
+    checkpoint AND tests convergence. The former fingerprint scheme
+    spent an extra initial-fingerprint job plus a confirm join on
+    convergence and carried a 64-bit collision caveat; the exact count
+    does neither."""
     endpoints = edges.select(F.col("src").alias("image_id")).distinct()
-    # lazy checkpoint: the initial fingerprint below is the action that
-    # materializes it — eager=True would spend a whole extra job
     labels = endpoints.select(
         F.col("image_id"), F.col("image_id").alias("cluster_id")
     ).localCheckpoint(eager=False)
@@ -82,25 +78,29 @@ def _iterate_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
 
-    prev_fp = _fingerprint(labels)
     for _ in range(max_iter):
         # two propagation hops per materialization: on the contracted
         # graph per-round cost is dominated by fixed job/stage latency,
-        # so batching hops halves the coordination constant (an extra
-        # hop after convergence is a no-op)
-        new_labels = propagate(propagate(labels)).localCheckpoint(eager=False)
-        fp = _fingerprint(new_labels)
-        if fp == prev_fp:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "image_id")
-                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
-            if changed == 0:
-                return new_labels
-        labels = new_labels
-        prev_fp = fp
+        # so batching hops halves the coordination constant. The
+        # convergence test compares the two hops WITHIN the round
+        # (h2 vs h1): if one propagate step left labels unchanged, h1 is
+        # a fixpoint and the round both finishes AND certifies — a
+        # diameter-≤2 contracted graph (the usual graft shape) converges
+        # in ONE driver round instead of needing a confirm round. h1 is
+        # deliberately un-checkpointed: recomputing the KB-scale
+        # contracted subplan in the count's second branch is cheaper
+        # than another materialization barrier.
+        h1 = propagate(labels)
+        h2 = propagate(h1).localCheckpoint(eager=False)
+        changed = (
+            h2.alias("n")
+            .join(h1.alias("o"), "image_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        if changed == 0:
+            return h2
+        labels = h2
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
         "(contracted-component diameter exceeds max_iter — raise max_iter)"
@@ -119,6 +119,12 @@ def connected_components(
     singleton fraction. They are unioned back label=self at the end —
     one anti-join, zero iterations.
     """
+    # every checkpoint below is LAZY (r05): the first convergence count
+    # of the contracted loop materializes edges → lbl1 → cedges → labels
+    # → two hops in ONE job instead of four eager barrier jobs — on the
+    # graft's graphs (contracted diameter ~1-2) the whole CC is then
+    # 2-3 driver rounds; the checkpoints still truncate lineage so later
+    # rounds and the final composition reuse the cached results
     edges = (
         pairs.select(
             F.col("image_id_a").alias("src"), F.col("image_id_b").alias("dst")
@@ -129,15 +135,15 @@ def connected_components(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     endpoints = edges.select(F.col("src").alias("image_id")).distinct()
     singletons = vertices.select("image_id").join(
         endpoints, "image_id", "left_anti"
     ).select(F.col("image_id"), F.col("image_id").alias("cluster_id"))
 
-    # stage 1 — star contraction: l1(v) = min({v} ∪ N(v)); eager, it
-    # feeds both the contracted-edge build and the final composition
+    # stage 1 — star contraction: l1(v) = min({v} ∪ N(v)); feeds both
+    # the contracted-edge build and the final composition
     lbl1 = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_mn"))
@@ -145,11 +151,14 @@ def connected_components(
             F.col("src").alias("image_id"),
             F.least("src", "_mn").alias("l1"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # contracted edges between distinct representatives (both directions
-    # for the loop); vertex count ~#buckets, labels broadcast-sized
+    # for the loop); vertex count ~#buckets, labels broadcast-sized.
+    # Disjoint-bucket graphs need no special case: the loop's first
+    # count returns 0 on an empty contracted graph and the composition
+    # falls back to l1 via the coalesce below
     la = lbl1.select(F.col("image_id").alias("src"), F.col("l1").alias("_la"))
     lb = lbl1.select(F.col("image_id").alias("dst"), F.col("l1").alias("_lb"))
     half = (
@@ -163,12 +172,8 @@ def connected_components(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if cedges.limit(1).count() == 0:
-        # disjoint buckets: contraction already finished the job
-        final = lbl1.select("image_id", F.col("l1").alias("cluster_id"))
-        return final.unionByName(singletons)
 
     # stage 2 — iterate on the contracted graph, then compose
     clab = _iterate_min_label(cedges, max_iter)
