@@ -158,7 +158,12 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1000000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--mode", default="restore")
-    ap.add_argument("--levels", default="1,4", help="worker counts")
+    ap.add_argument(
+        "--levels", default="1,4",
+        help="worker counts, or WxC pairs for explicit worker-count x "
+        "cores-per-worker levels (e.g. '1x8,4x2' = the same-total-cores "
+        "JVM-count control)",
+    )
     ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--exec-mem", default="10g")
     ap.add_argument("--worker-mem", default="11g")
@@ -173,7 +178,15 @@ def main() -> int:
 
     input_path = ensure_image_fixture(args.n)
     zpath = build_zip()
-    levels = [int(x) for x in args.levels.split(",")]
+    # each level = (workers, cores-per-worker); bare counts inherit
+    # --exec-cores
+    levels: list[tuple[int, int]] = []
+    for tok in args.levels.split(","):
+        if "x" in tok:
+            w, c = tok.split("x")
+            levels.append((int(w), int(c)))
+        else:
+            levels.append((int(tok), args.exec_cores))
     warehouse = None
     if args.mode == "restore":
         warehouse = f"/tmp/mfdedup_bench/wh_restore_{args.n}"
@@ -186,32 +199,40 @@ def main() -> int:
     os.makedirs(log_dir, exist_ok=True)
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     master = start_master(log_dir)
-    results: dict[int, list[dict]] = {w: [] for w in levels}
+    results: dict[tuple[int, int], list[dict]] = {lv: [] for lv in levels}
 
     def cpu_stat():
         parts = open("/proc/stat").readline().split()
         vals = list(map(int, parts[1:9]))
         return sum(vals), vals[3] + vals[7]
 
+    def exec_mem_for(cores: int) -> str:
+        # keep per-core memory constant across level shapes (default
+        # --exec-mem is for --exec-cores; scale proportionally)
+        per_core = int(args.exec_mem.rstrip("g")) / args.exec_cores
+        return f"{max(2, round(per_core * cores))}g"
+
     try:
         for rep in range(args.reps):
-            for n_workers in levels:
-                workers = start_workers(
-                    n_workers, args.exec_cores, args.worker_mem, log_dir
-                )
+            for lv in levels:
+                n_workers, cores = lv
+                emem = exec_mem_for(cores)
+                wmem = f"{int(emem.rstrip('g')) + 1}g"
+                workers = start_workers(n_workers, cores, wmem, log_dir)
                 try:
                     s0 = cpu_stat()
                     r = run_once(
                         zpath, input_path, args.mode,
-                        n_workers * args.exec_cores, args.exec_cores,
-                        args.exec_mem, warehouse,
+                        n_workers * cores, cores,
+                        emem, warehouse,
                         args.stage_metrics and rep == 0, args.timeout,
                     )
                     s1 = cpu_stat()
                     dt, didle = s1[0] - s0[0], s1[1] - s0[1]
                     r["host_busy_frac"] = round(1 - didle / max(dt, 1), 3)
                     r["n_workers"] = n_workers
-                    results[n_workers].append(r)
+                    r["cores_per_worker"] = cores
+                    results[lv].append(r)
                     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
                     with open(
                         os.path.join(
@@ -222,7 +243,7 @@ def main() -> int:
                     ) as rawf:
                         rawf.write(json.dumps({**r, "rep": rep}) + "\n")
                     print(
-                        f"rep {rep} {n_workers}w x {args.exec_cores}c: "
+                        f"rep {rep} {n_workers}w x {cores}c: "
                         f"{r['time_sec']}s ({r['images_per_sec']} rows/s, "
                         f"host busy {r['host_busy_frac']})",
                         flush=True,
@@ -232,13 +253,18 @@ def main() -> int:
     finally:
         stop_procs([master])
 
-    med = {w: statistics.median(r["time_sec"] for r in rs)
-           for w, rs in results.items()}
-    best = {w: min(r["time_sec"] for r in rs) for w, rs in results.items()}
-    lo, hi = min(levels), max(levels)
-    eff = (best[lo] / best[hi]) / (hi / lo)
-    eff_med = (med[lo] / med[hi]) / (hi / lo)
-    n_rows = {w: results[w][0].get("rows", args.n) for w in results}
+    med = {lv: statistics.median(r["time_sec"] for r in rs)
+           for lv, rs in results.items()}
+    best = {lv: min(r["time_sec"] for r in rs) for lv, rs in results.items()}
+    lo = min(levels, key=lambda lv: lv[0] * lv[1])
+    hi = max(levels, key=lambda lv: lv[0] * lv[1])
+    if lo == hi:  # same total cores everywhere: order by worker count
+        lo, hi = levels[0], levels[-1]
+    ratio = (hi[0] * hi[1]) / (lo[0] * lo[1])
+    eff = (best[lo] / best[hi]) / ratio
+    eff_med = (med[lo] / med[hi]) / ratio
+    n_rows = {lv: results[lv][0].get("rows", args.n) for lv in results}
+    same_cores = ratio == 1  # JVM-count control: report overhead, not eff
 
     report = os.path.join(
         REPO, "BENCH", f"BASELINE_{args.mode}_cluster.md"
@@ -255,23 +281,35 @@ changes — the literal N→4N two-cluster-size rule, minus the shared
 memory bus this single VM cannot split. {args.reps} interleaved reps,
 per-level minima approximate the uncontended host.
 
-| workers | total cores | best wall (s) | median wall (s) | rows/sec (best) |
-|---|---|---|---|---|
+| workers | cores/worker | total cores | best wall (s) | median wall (s) | rows/sec (best) |
+|---|---|---|---|---|---|
 """)
-        for w in levels:
+        for lv in levels:
+            w, c = lv
             f.write(
-                f"| {w} | {w * args.exec_cores} | {best[w]:.1f} | "
-                f"{med[w]:.1f} | {n_rows[w] / best[w]:.0f} |\n"
+                f"| {w} | {c} | {w * c} | {best[lv]:.1f} | "
+                f"{med[lv]:.1f} | {n_rows[lv] / best[lv]:.0f} |\n"
             )
-        f.write(f"""
-**Scaling efficiency {lo}→{hi} workers: {eff:.2f} (best-of-{args.reps}),
-{eff_med:.2f} (median)** — target ≥ 0.8
-
+        if same_cores:
+            f.write(f"""
+**Same-total-cores JVM-count control {lo[0]}x{lo[1]} vs {hi[0]}x{hi[1]}:
+wall ratio {best[hi] / best[lo]:.2f} (best), {med[hi] / med[lo]:.2f}
+(median)** — a ratio ≈ 1 means splitting the same cores across more
+executor JVMs costs nothing, i.e. JVM-internal contention is not the
+scaling limiter.
+""")
+        else:
+            f.write(f"""
+**Scaling efficiency {lo[0]*lo[1]}→{hi[0]*hi[1]} cores across separate
+JVMs: {eff:.2f} (best-of-{args.reps}), {eff_med:.2f} (median)** —
+target ≥ 0.8
+""")
+        f.write("""
 All raw runs (seconds, host-busy fraction from /proc/stat):
 """)
-        for w, rs in results.items():
+        for (w, c), rs in results.items():
             f.write(
-                f"- {w} worker(s): "
+                f"- {w}x{c}: "
                 + ", ".join(
                     f"{r['time_sec']} (busy {r.get('host_busy_frac', '?')})"
                     for r in rs
@@ -286,11 +324,11 @@ All raw runs (seconds, host-busy fraction from /proc/stat):
                 "\n## Per-stage byte volumes (rep-0 instrumented run; "
                 "driver status REST API, timed section only)\n"
             )
-            for w, r in srcs:
+            for (w, c), r in srcs:
                 io = r["stage_io"]
                 t = io["totals"]
                 f.write(
-                    f"\n### {w} worker(s) — input "
+                    f"\n### {w} worker(s) x {c} cores — input "
                     f"{t['input_bytes'] / 1e9:.2f} GB, shuffle write "
                     f"{t['shuffle_write_bytes'] / 1e9:.2f} GB, shuffle read "
                     f"{t['shuffle_read_bytes'] / 1e9:.2f} GB, executor time "
