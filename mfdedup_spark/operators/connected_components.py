@@ -45,14 +45,37 @@ component — a total order, independent of execution order.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _prefetch(df: DataFrame) -> None:
+    """Materialize a lazily-checkpointed frame on a background thread
+    (guide §2.6: overlap independent jobs). Building the CC fragments
+    costs the driver a second-ish of pure Catalyst planning (localCheckpoint
+    compiles each subtree to an RDD) during which the executors would sit
+    idle; kicking the checkpoint's materialization off first lets the
+    cluster chew the expensive upstream pair subtree while the driver
+    plans. RDD-cache partition locks make the concurrent first action
+    race-free (each partition is computed once); any failure is swallowed
+    here and re-raised by the foreground action that recomputes it."""
+
+    def run() -> None:
+        try:
+            df.count()
+        except Exception:
+            pass
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def _iterate_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
     """Hash-to-min label propagation over (src, dst) edges (both
-    directions present). Returns (image_id, cluster_id) for every edge
-    endpoint.
+    directions present; MUST be the contracted graph — see
+    connected_components, which is the only caller). Returns
+    (image_id, cluster_id) for every edge endpoint.
 
     Convergence is ONE action per round (r05: the contracted loop is
     job-latency-bound, so driver rounds are the unit of cost): the exact
@@ -62,10 +85,6 @@ def _iterate_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
     spent an extra initial-fingerprint job plus a confirm join on
     convergence and carried a 64-bit collision caveat; the exact count
     does neither."""
-    endpoints = edges.select(F.col("src").alias("image_id")).distinct()
-    labels = endpoints.select(
-        F.col("image_id"), F.col("image_id").alias("cluster_id")
-    ).localCheckpoint(eager=False)
 
     def propagate(lbl):
         # each edge offers src's current label to dst
@@ -78,6 +97,20 @@ def _iterate_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
 
+    # r06: the first hop is fused into one aggregation. propagate(identity)
+    # ≡ min({v} ∪ N(v)) because every endpoint appears as src (both edge
+    # directions present), so seeding with the direct contraction skips
+    # the endpoints-distinct exchange AND the identity-labels union that
+    # the explicit identity seed paid (guide §2.4: remove shuffles
+    # outright) — one exchange instead of three before the first count.
+    h1 = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("image_id"),
+            F.least("src", "_mn").alias("cluster_id"),
+        )
+    )
     for _ in range(max_iter):
         # two propagation hops per materialization: on the contracted
         # graph per-round cost is dominated by fixed job/stage latency,
@@ -90,7 +123,6 @@ def _iterate_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
         # deliberately un-checkpointed: recomputing the KB-scale
         # contracted subplan in the count's second branch is cheaper
         # than another materialization barrier.
-        h1 = propagate(labels)
         h2 = propagate(h1).localCheckpoint(eager=False)
         changed = (
             h2.alias("n")
@@ -100,7 +132,7 @@ def _iterate_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
         )
         if changed == 0:
             return h2
-        labels = h2
+        h1 = propagate(h2)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
         "(contracted-component diameter exceeds max_iter — raise max_iter)"
@@ -125,6 +157,12 @@ def connected_components(
     # graft's graphs (contracted diameter ~1-2) the whole CC is then
     # 2-3 driver rounds; the checkpoints still truncate lineage so later
     # rounds and the final composition reuse the cached results
+    # r06: no edges.distinct() — every downstream consumer is duplicate-
+    # insensitive (min-aggregations and joins feeding min-aggregations;
+    # cedges carries its own distinct), and every caller already passes a
+    # distinct pair set, so the exchange+aggregate the distinct paid
+    # bought nothing (guide §2.4: a `distinct` on data that is already
+    # unique is an accidental shuffle).
     edges = (
         pairs.select(
             F.col("image_id_a").alias("src"), F.col("image_id_b").alias("dst")
@@ -134,13 +172,11 @@ def connected_components(
                 F.col("image_id_b").alias("src"), F.col("image_id_a").alias("dst")
             )
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
-    endpoints = edges.select(F.col("src").alias("image_id")).distinct()
-    singletons = vertices.select("image_id").join(
-        endpoints, "image_id", "left_anti"
-    ).select(F.col("image_id"), F.col("image_id").alias("cluster_id"))
+    # overlap: start computing the (expensive) pair subtree behind this
+    # checkpoint now, while the driver plans the contraction fragments
+    _prefetch(edges)
 
     # stage 1 — star contraction: l1(v) = min({v} ∪ N(v)); feeds both
     # the contracted-edge build and the final composition
@@ -175,8 +211,15 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
-    # stage 2 — iterate on the contracted graph, then compose
+    # stage 2 — iterate on the contracted graph, then compose. Singletons
+    # (vertices with no edge) reuse lbl1's key set as the endpoint list —
+    # lbl1 is already checkpointed and distinct-by-construction (groupBy
+    # src), so the former endpoints.distinct() exchange is free (r06,
+    # guide §2.4).
     clab = _iterate_min_label(cedges, max_iter)
+    singletons = vertices.select("image_id").join(
+        lbl1.select("image_id"), "image_id", "left_anti"
+    ).select(F.col("image_id"), F.col("image_id").alias("cluster_id"))
     final = (
         lbl1.join(clab.withColumnRenamed("image_id", "l1"), "l1", "left")
         .select(
