@@ -95,17 +95,31 @@ def _events_classified(spark, sf_dir):
     window + one anti-joinable prev-version set (SURVEY §2.6 T6-T8:
     laterTable first ⇒ INTERNAL for repeats within the version, else
     earlierTable ⇒ ADJACENT, else UNIQUE)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "value",
-        F.dayofyear("ts").cast("long").alias("version"),
-        md5_long(F.col("props")).alias("fp"),
+    # r06 (guide §2.4): hash-repartition on (version, fp) ONCE — the
+    # window requires exactly that clustering, and the prev-version
+    # distinct (taken BEFORE the +1 projection so Catalyst recognizes the
+    # partitioning) aggregates in place on the same exchange, which the
+    # two branches then SHARE via exchange reuse. The former shape paid a
+    # round-robin exchange, a window exchange and a distinct exchange,
+    # and evaluated the md5 fingerprint projection twice (once per
+    # branch).
+    p = spark.sparkContext.defaultParallelism
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "value",
+            F.dayofyear("ts").cast("long").alias("version"),
+            md5_long(F.col("props")).alias("fp"),
+        )
+        .repartition(p, "version", "fp")
     )
     w = Window.partitionBy("version", "fp").orderBy("event_id")
     ranked = ev.withColumn("rn", F.row_number().over(w).cast("long"))
     prev = (
-        ev.select((F.col("version") + 1).alias("version"), "fp")
+        ev.select("version", "fp")
         .distinct()
+        .select((F.col("version") + 1).alias("version"), "fp")
         .withColumn("in_prev", F.lit(1))
     )
     return ranked.join(prev, ["version", "fp"], "left").select(
@@ -244,9 +258,21 @@ def q_restore_prefix_sum(spark, sf_dir):
     recipes need a *unique* seq key, so chunk lengths are first aggregated
     per (version, seq_no) ≈ (orderkey, linenumber), then window-prefix-
     summed — ties in the synthetic data would otherwise make the running
-    sum engine-dependent."""
+    sum engine-dependent.
+
+    r06 (guide §2.4): ONE hash exchange on l_orderkey establishes the
+    partitioning that BOTH downstream operators need — HashPartitioning
+    on a subset of the grouping keys satisfies the aggregation's
+    ClusteredDistribution([l_orderkey, l_linenumber]) and the window's
+    ClusteredDistribution([l_orderkey]) — replacing the former
+    round-robin-repartition → groupBy exchange → window exchange chain
+    (3 exchanges → 1); the projection before the exchange shuffles three
+    columns instead of sixteen."""
+    p = spark.sparkContext.defaultParallelism
     li = (
-        _t(spark, sf_dir, "lineitem")
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(p, "l_orderkey")
         .groupBy("l_orderkey", "l_linenumber")
         .agg(F.sum("l_quantity").alias("q"))
     )

@@ -129,17 +129,39 @@ def doc_band_buckets(docs: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
 
 
-def doc_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing any LSH band bucket."""
-    bb = doc_band_buckets(docs)
-    a = bb.select("band", "bucket", F.col("doc_id").alias("doc_id_a"))
-    b = bb.select("band", "bucket", F.col("doc_id").alias("doc_id_b"))
+def _bucket_pairs(rows: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """All distinct unordered pairs (a < b) of ids sharing a bucket key.
+
+    r06 (guide §2.3/§2.4): one aggregation pass instead of a bucket-keyed
+    self-join — the join evaluated the ENTIRE upstream subtree twice
+    (once per side; Spark shares no common subexpressions across join
+    children), so for MinHash/SimHash band inputs every md5-gram and
+    64-perm MinHash was computed twice. collect_set + sort_array + a
+    strictly-after slice-explode emits the identical pair set from one
+    pass. Per-bucket work stays O(n²) in pair OUTPUT exactly like the
+    self-join (same rows, same single-reducer-per-key placement), and
+    this stays the oracle-exact small-scale twin — the capped anchor-star
+    generators remain the production path for hot buckets."""
+    ids = (
+        rows.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
+    a = ids.select("_ids", F.posexplode("_ids").alias("_i", f"{id_col}_a"))
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
+        a.select(
+            f"{id_col}_a",
+            F.explode(
+                F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias(f"{id_col}_b"),
+        )
         .distinct()
     )
+
+
+def doc_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket."""
+    return _bucket_pairs(doc_band_buckets(docs), ["band", "bucket"], "doc_id")
 
 
 #: production-path skew guards for the doc-side pair generators (the
@@ -252,24 +274,37 @@ def doc_exact_dedup(docs: DataFrame) -> DataFrame:
 
 def _ngram_jaccard_over(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
     """Exact n-gram Jaccard verification of the given candidate pairs.
-    Output (doc_id_a, doc_id_b, n_common, jaccard)."""
-    grams = docs.select(
-        "doc_id", F.explode(F.array_distinct(gram_hashes(F.col("text")))).alias("g")
+    Output (doc_id_a, doc_id_b, n_common, jaccard).
+
+    r06 (guide §2.3/§2.4): the intersection rides the per-doc gram ARRAY
+    — two metadata joins + one array_intersect per candidate pair —
+    instead of the former explode → join-on-(id, gram) → count →
+    two size-joins cascade, which scanned `documents` four times (each
+    recomputing every md5 gram hash) and paid two aggregation exchanges.
+    n_common = |A ∩ B| over the distinct gram sets is identical; the
+    n_common ≥ 1 guard preserves the old inner-join-on-gram semantics
+    (a zero-overlap candidate never surfaced) for any threshold."""
+    garr = docs.select(
+        "doc_id", F.array_distinct(gram_hashes(F.col("text"))).alias("grams")
     )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ga = grams.select(F.col("doc_id").alias("doc_id_a"), "g")
-    gb = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
-    inter = (
-        pairs.join(ga, "doc_id_a")
-        .join(gb, ["doc_id_b", "g"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("n_common"))
+    ga = garr.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a")
     )
-    na = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    gb = garr.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b")
+    )
+    n_common = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
     return (
-        inter.join(na, "doc_id_a")
-        .join(nb, "doc_id_b")
+        pairs.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            n_common.alias("n_common"),
+            F.size("grams_a").cast("long").alias("na"),
+            F.size("grams_b").cast("long").alias("nb"),
+        )
+        .where(F.col("n_common") >= 1)
         .withColumn(
             "jaccard",
             F.round(
@@ -449,21 +484,36 @@ def doc_simhash_band_pairs(docs: DataFrame, hamming_max: int = 8) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    a = bands.select(
-        "band", "bucket", F.col("doc_id").alias("doc_id_a"),
-        F.col("simhash").alias("sim_a"),
+    # r06: pair generation via one collect-per-bucket pass carrying
+    # (doc_id, simhash) structs — the former bucket self-join evaluated
+    # the whole SimHash aggregation subtree twice (once per side) and
+    # needed no join-back only because both sides already paid it.
+    # sort_array over structs orders by doc_id (unique), so the
+    # strictly-after slice emits exactly the a < b pairs; hamming is
+    # computed from the struct fields directly.
+    ids = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "simhash"))
+            ).alias("_ids")
+        )
+        .where(F.size("_ids") > 1)
     )
-    b = bands.select(
-        "band", "bucket", F.col("doc_id").alias("doc_id_b"),
-        F.col("simhash").alias("sim_b"),
-    )
+    a = ids.select("_ids", F.posexplode("_ids").alias("_i", "_sa"))
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        a.select(
+            "_sa",
+            F.explode(
+                F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias("_sb"),
+        )
         .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+            F.col("_sa.doc_id").alias("doc_id_a"),
+            F.col("_sb.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("_sa.simhash").bitwiseXOR(F.col("_sb.simhash"))
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= hamming_max)
         .distinct()
@@ -481,14 +531,10 @@ def doc_caption_substring_pairs(docs: DataFrame) -> DataFrame:
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(gram_hashes(F.col("text")))).alias("g")
     )
-    a = grams.select(F.col("doc_id").alias("doc_id_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
-    cand = (
-        a.join(b, "g")
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
-    )
+    # r06: shared-gram blocking through the one-pass collect generator —
+    # the former self-join on g recomputed the exploded gram table for
+    # both sides (two full md5-gram scans of documents)
+    cand = _bucket_pairs(grams, ["g"], "doc_id")
     ta = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
     return (
