@@ -214,7 +214,7 @@ def main() -> None:
         # recipe partitions the timed restore will read
         from mfdedup_spark.plans.restore import chunk_pool
 
-        pool, _, _ = chunk_pool(store, 2)
+        pool, _, _, _ = chunk_pool(store, 2)
         pool.select(F.sum(F.length("bytes"))).collect()
         store.read_partitions("recipes", "version", [2]).select(
             F.sum("length")

@@ -336,6 +336,26 @@ class DedupStore:
             return None
         return self.read("lineage")
 
+    def read_lineage_rows(self):
+        """Driver-side lineage read (pyarrow, no Spark job): the lineage
+        dir is a handful of KB-scale parquet files — the same class of
+        metadata the manifest reader already loads driver-side. Returns a
+        pandas frame with ONE row per partition_id (latest updated_at
+        wins: re-runs append a fresh, complete set of rows per
+        partition), or None when no lineage exists."""
+        if not self.exists("lineage"):
+            return None
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(self.path("lineage")).to_pandas()
+        if df.empty:
+            return df
+        return (
+            df.sort_values("updated_at", kind="mergesort")
+            .groupby("partition_id", as_index=False)
+            .last()
+        )
+
     # ---------------------------------------------------------- stage stats
     def append_stage_stats(self, version: int, rows: list[dict]) -> None:
         """Per-stage wall-clock durations for one ingest — the analogue of

@@ -257,7 +257,7 @@ def test_restore_pool_fp_unique(ingested):
 
     store, pdf, _ = ingested
     for v in (1, 2, 3):
-        pool, _, _ = chunk_pool(store, v)
+        pool, _, _, _ = chunk_pool(store, v)
         assert pool.count() == pool.select("fp").distinct().count(), v
 
 
@@ -425,7 +425,7 @@ def test_arrange_crash_resume(spark, series, tmp_path_factory, crash):
     assert not res["skipped"]
 
     for v in (1, 2, 3):
-        pool, _, _ = chunk_pool(store, v)
+        pool, _, _, _ = chunk_pool(store, v)
         assert pool.count() == pool.select("fp").distinct().count(), (crash, v)
         restored, stats = restore_version(store, v)
         got = restored.toPandas().set_index("image_id")
@@ -697,3 +697,44 @@ def test_ingest_restore_with_gear_method(spark, tmp_path_factory):
     got = store.read_table("classification").toPandas()
     merged = got.merge(want, on=["image_id", "version"], suffixes=("", "_w"))
     assert (merged["result"] == merged["result_w"]).all()
+
+
+def test_restore_stats_lineage_parity(ingested):
+    """r06: the lineage-derived scanned-byte bounds must equal the former
+    pool-recomputed bounds bit-for-bit on a committed store, for every
+    restorable version (VERDICT r05 next-round task 1)."""
+    from mfdedup_spark.plans.restore import (
+        _scanned_bytes_from_lineage,
+        chunk_pool,
+    )
+
+    store, _, _ = ingested
+    for v in (1, 2, 3):
+        _, scanned_parts, pool_all, recovery = chunk_pool(store, v)
+        assert not recovery
+        got = _scanned_bytes_from_lineage(store, scanned_parts, v)
+        assert got is not None, f"v{v}: lineage coverage incomplete"
+        srow = pool_all.agg(
+            F.sum("length").alias("read"),
+            F.sum(
+                F.when(F.col("first_version") <= v, F.col("length"))
+            ).alias("pruned"),
+        ).first()
+        assert got == (int(srow["read"] or 0), int(srow["pruned"] or 0)), (
+            f"v{v}: lineage bounds {got} != pool bounds"
+        )
+
+
+def test_restore_prepayload_job_count(ingested):
+    """r06 (VERDICT r05 next-round task 3): restore_version issues at
+    most 2 Spark jobs before the caller materializes the payload join —
+    the fused recipe-agg + coverage-guard action (scanned bytes are a
+    driver-side lineage read, zero jobs)."""
+    store, _, _ = ingested
+    tracker = store.spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup())
+    restore_version(store, 3)
+    after = len(tracker.getJobIdsForGroup())
+    assert after - before <= 2, (
+        f"restore_version ran {after - before} pre-payload jobs"
+    )
