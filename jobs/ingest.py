@@ -282,10 +282,17 @@ def main() -> None:
         # excluded): the reference's restore-at-IO-speed framing
         # (RestoreWritePipeline.h:124) demands knowing how many bytes
         # each stage actually moved, not just the wall clock
-        stages = [
-            s for s in fetch_stages(spark)
-            if s["stageId"] not in pre_stage_ids and s["status"] == "COMPLETE"
-        ]
+        # /stages returns every ATTEMPT; a stage retried after a fetch
+        # failure would double-count its bytes/time — keep only the
+        # latest attempt per stageId (ADVICE r05 low)
+        latest: dict[int, dict] = {}
+        for s in fetch_stages(spark):
+            if s["stageId"] in pre_stage_ids or s["status"] != "COMPLETE":
+                continue
+            cur = latest.get(s["stageId"])
+            if cur is None or s.get("attemptId", 0) > cur.get("attemptId", 0):
+                latest[s["stageId"]] = s
+        stages = [latest[k] for k in sorted(latest)]
         rows = [
             {
                 "stage": s["stageId"],

@@ -203,12 +203,26 @@ def q_dedup_metrics_events(spark, sf_dir):
     )
 
 
-def q_category_assignment_events(spark, sf_dir):
-    ev = (
-        _t(spark, sf_dir, "events")
-        .select(F.dayofyear("ts").cast("long").alias("version"), md5_long(F.col("props")).alias("fp"))
+def _events_vfp(spark, sf_dir):
+    """Distinct (version, fp) of events, hash-partitioned on fp so every
+    downstream consumer — the distinct itself, the first-version groupBy
+    and the fp equi-join — reuses ONE exchange (r06, guide §2.4; the
+    former shape paid a round-robin exchange plus one exchange per
+    consumer)."""
+    p = spark.sparkContext.defaultParallelism
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.dayofyear("ts").cast("long").alias("version"),
+            md5_long(F.col("props")).alias("fp"),
+        )
+        .repartition(p, "fp")
         .distinct()
     )
+
+
+def q_category_assignment_events(spark, sf_dir):
+    ev = _events_vfp(spark, sf_dir)
     first = ev.groupBy("fp").agg(F.min("version").alias("first_version"))
     return ev.join(first, "fp").select(
         "fp",
@@ -221,19 +235,31 @@ def q_category_assignment_events(spark, sf_dir):
 
 
 def q_avar_split_events(spark, sf_dir):
-    ev = (
-        _t(spark, sf_dir, "events")
-        .select(F.dayofyear("ts").cast("long").alias("version"), md5_long(F.col("props")).alias("fp"))
-        .distinct()
-    )
+    """r06 (guide §2.4): the prev/curr membership tests fold into ONE
+    per-fp aggregation over the shared fp-partitioned exchange — a fp is
+    'active' iff seen at both m-1 and m, 'archived' iff only at m-1 —
+    replacing two semi-joins plus an anti-join over three evaluations of
+    the distinct subtree (identical output rows)."""
+    ev = _events_vfp(spark, sf_dir)
     vmax = ev.agg(F.max("version").alias("m"))
-    prev = ev.join(vmax, ev.version == vmax.m - 1, "left_semi").select("fp")
-    curr = ev.join(vmax, ev.version == vmax.m, "left_semi").select("fp")
-    active = prev.join(curr, "fp", "left_semi").withColumn("state", F.lit("active"))
-    archived = prev.join(curr, "fp", "left_anti").withColumn(
-        "state", F.lit("archived")
+    flags = (
+        ev.join(F.broadcast(vmax), ev.version >= vmax.m - 1, "inner")
+        .groupBy("fp")
+        .agg(
+            F.max(F.when(F.col("version") == F.col("m") - 1, 1).otherwise(0)).alias(
+                "in_prev"
+            ),
+            F.max(F.when(F.col("version") == F.col("m"), 1).otherwise(0)).alias(
+                "in_curr"
+            ),
+        )
     )
-    return active.unionByName(archived)
+    return flags.where(F.col("in_prev") == 1).select(
+        "fp",
+        F.when(F.col("in_curr") == 1, F.lit("active"))
+        .otherwise(F.lit("archived"))
+        .alias("state"),
+    )
 
 
 def q_volume_offsets_events(spark, sf_dir):
@@ -297,15 +323,21 @@ def q_restore_join_chunks(spark, sf_dir):
 
 
 def q_semi_anti_orders(spark, sf_dir):
+    """r06 (guide §2.4): one left outer join against the (unique-keyed)
+    filtered customer side classifies every order in a single pass —
+    the former semi + anti pair scanned and shuffled orders twice for
+    the same MATCHED/NEW split (identical output rows; c_custkey is
+    unique, so the left join cannot fan out)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     rich = _t(spark, sf_dir, "customer").where("c_acctbal > 5000").select("c_custkey")
-    matched = orders.join(
-        rich, orders.o_custkey == rich.c_custkey, "left_semi"
-    ).withColumn("state", F.lit("MATCHED"))
-    new = orders.join(rich, orders.o_custkey == rich.c_custkey, "left_anti").withColumn(
-        "state", F.lit("NEW")
+    return orders.join(
+        rich, orders.o_custkey == rich.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        F.when(F.col("c_custkey").isNotNull(), F.lit("MATCHED"))
+        .otherwise(F.lit("NEW"))
+        .alias("state"),
     )
-    return matched.unionByName(new).select("o_orderkey", "state")
 
 
 def q_token_stats_docs(spark, sf_dir):

@@ -339,6 +339,16 @@ class IcebergStore:
         df.writeTo(self._tbl(f"fp_index_{generation}_staging")).createOrReplace()
 
     def roll_fp_index(self) -> None:
+        # fail fast on a bare roll (ADVICE r05 low): the two statements
+        # are not atomic, so a crash between them leaves a stale staging
+        # table behind; a later roll without an intervening
+        # write_fp_index must not silently re-promote that stale snapshot
+        # — DedupStore's os.replace raises in the same case
+        if not self.exists("fp_index_next_staging"):
+            raise FileNotFoundError(
+                "roll_fp_index: fp_index_next_staging does not exist "
+                "(no write_fp_index since the last roll)"
+            )
         for stmt in roll_fp_index_sql(
             self._tbl("fp_index_prev"), self._tbl("fp_index_next_staging")
         ):

@@ -159,10 +159,10 @@ def connected_components(
     # rounds and the final composition reuse the cached results
     # r06: no edges.distinct() — every downstream consumer is duplicate-
     # insensitive (min-aggregations and joins feeding min-aggregations;
-    # cedges carries its own distinct), and every caller already passes a
-    # distinct pair set, so the exchange+aggregate the distinct paid
-    # bought nothing (guide §2.4: a `distinct` on data that is already
-    # unique is an accidental shuffle).
+    # cedges carries its own distinct), so duplicate pairs are legal
+    # input: they collapse in the first map-side partial aggregation
+    # instead of paying a dedicated exchange (guide §2.4: a `distinct`
+    # on data that is already unique is an accidental shuffle).
     edges = (
         pairs.select(
             F.col("image_id_a").alias("src"), F.col("image_id_b").alias("dst")

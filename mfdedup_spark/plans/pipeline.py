@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 from mfdedup_spark.config import SignatureConfig
 from mfdedup_spark.functions.signatures import compute_signatures
 from mfdedup_spark.operators.caption_match import caption_pairs
-from mfdedup_spark.operators.connected_components import connected_components
+from mfdedup_spark.operators.connected_components import (
+    _prefetch,
+    connected_components,
+)
 from mfdedup_spark.operators.lsh import candidate_pairs
 from mfdedup_spark.operators.verify import verify_pairs
 
@@ -43,6 +46,11 @@ def dedup_images(
     cfg = cfg or SignatureConfig()
     sig = compute_signatures(images, cfg)
     sig.persist()  # reused by candidate gen + verification joins
+    # overlap (guide §2.6): start the Arrow/Python signature stage now so
+    # decode+hash runs while the driver builds the candidate/caption/CC
+    # fragments (connected_components alone spends ~1 s of pure Catalyst
+    # planning at bench scale); downstream actions find sig cached
+    _prefetch(sig)
 
     cand, lsh_stats = candidate_pairs(sig, cfg)
     verified = verify_pairs(cand, sig, cfg)
@@ -56,10 +64,13 @@ def dedup_images(
     pairs = verified.dropDuplicates(["image_id_a", "image_id_b", "method"])
 
     # edges straight from verified (NOT via pairs): the per-method
-    # dropDuplicates would add a second shuffle that the id-only distinct
-    # below subsumes
+    # dropDuplicates would add a second shuffle, and r06 drops the id-only
+    # distinct too — connected_components is min-aggregation based and
+    # therefore duplicate-insensitive, so the ≤ #bands-fold edge
+    # multiplicity collapses in its first map-side partial aggregation
+    # instead of paying a dedicated exchange (guide §2.4)
     clusters = connected_components(
-        verified.select("image_id_a", "image_id_b").distinct(),
+        verified.select("image_id_a", "image_id_b"),
         sig.select("image_id"),
     )
 

@@ -72,6 +72,16 @@ PREFIX_SHARD = 65536
 #: corpus-proportional routing idea as annops.embedding_neardup_auto)
 BROADCAST_RECIPES_MAX_ROWS = 4_000_000
 
+#: byte budget for the broadcast route (ADVICE r05 medium: the row cap
+#: assumed ~150 B/row, but ``caption`` is unbounded — a caption-heavy
+#: corpus could hit Spark's 8 GB broadcast hard cap or executor memory at
+#: far fewer rows). The auto route estimates
+#: sum(octet_length(caption)) + BROADCAST_ROW_OVERHEAD·rows from the same
+#: fused metadata job that counts the recipe and falls back to the
+#: fp-shuffle join when the estimate exceeds this budget.
+BROADCAST_RECIPES_MAX_BYTES = 600 * 1024 * 1024
+BROADCAST_ROW_OVERHEAD = 120  # numeric cols + ids + hash-relation framing
+
 #: recipe metadata carried per restored row. Restore returns each
 #: record's OWN caption/w/h/fmt/phash (two records with identical bytes
 #: but different captions restore their own captions — the input_hint
@@ -349,7 +359,13 @@ def restore_version(
         F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup"),
     )
     rrow = (
-        recipes.agg(F.count("*").alias("n"), F.sum("length").alias("b"))
+        recipes.agg(
+            F.count("*").alias("n"),
+            F.sum("length").alias("b"),
+            F.sum(F.coalesce(F.octet_length("caption"), F.lit(0))).alias(
+                "caption_bytes"
+            ),
+        )
         .crossJoin(chk_side)
         .first()
     )
@@ -363,7 +379,18 @@ def restore_version(
     )
 
     if broadcast_recipes is None:
-        broadcast_recipes = n_recipe <= BROADCAST_RECIPES_MAX_ROWS
+        # route on estimated BYTES as well as rows (ADVICE r05 medium):
+        # the placed map carries unbounded per-row metadata (caption), so
+        # a caption-heavy corpus could blow past executor memory or
+        # Spark's 8 GB broadcast cap right at the row cap. The estimate
+        # (exact caption payload + fixed per-row overhead for the numeric
+        # columns, ids and row framing) is already computed by the fused
+        # metadata job above — zero extra actions.
+        est_bytes = int(rrow["caption_bytes"] or 0) + n_recipe * BROADCAST_ROW_OVERHEAD
+        broadcast_recipes = (
+            n_recipe <= BROADCAST_RECIPES_MAX_ROWS
+            and est_bytes <= BROADCAST_RECIPES_MAX_BYTES
+        )
     placed_side = F.broadcast(placed) if broadcast_recipes else placed
     restored = (
         pool.select("fp", "bytes")

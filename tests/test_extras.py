@@ -644,3 +644,45 @@ def test_iceberg_read_manifest_empty_table():
         "total_version": 0,
         "arrangement_fall_behind": 0,
     }
+
+
+def test_iterate_min_label_contracted_only():
+    """VERDICT r05 next-round task 6: _iterate_min_label deliberately
+    recomputes its un-checkpointed first hop inside the convergence
+    count — the right trade ONLY on the KB-scale contracted graph. Pin
+    the call-site invariant: the sole caller is connected_components and
+    it passes the contracted edge set (cedges), so a refactor cannot
+    silently inherit the h1 recompute onto an E-scale input."""
+    import ast
+    import inspect
+
+    from mfdedup_spark.operators import connected_components as cc
+
+    tree = ast.parse(inspect.getsource(cc))
+    calls = [
+        node
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Name)
+        and node.func.id == "_iterate_min_label"
+    ]
+    assert len(calls) == 1, "expected exactly one _iterate_min_label call"
+    first_arg = calls[0].args[0]
+    assert isinstance(first_arg, ast.Name) and first_arg.id == "cedges", (
+        "_iterate_min_label must be fed the CONTRACTED edge set"
+    )
+
+
+def test_iceberg_bare_roll_guard():
+    """ADVICE r05 low: roll_fp_index without an intervening
+    write_fp_index must fail fast instead of re-promoting a stale
+    staging snapshot left by a crash between the roll's two
+    (non-atomic) statements."""
+    import pytest as _pytest
+
+    from mfdedup_spark.iceberg_store import IcebergStore
+
+    st = IcebergStore.__new__(IcebergStore)  # skip the jar-gated __init__
+    st.exists = lambda table: False
+    with _pytest.raises(FileNotFoundError, match="fp_index_next_staging"):
+        st.roll_fp_index()

@@ -54,18 +54,22 @@ def _port_open(port: int) -> bool:
 
 def start_master(log_dir: str) -> subprocess.Popen:
     os.makedirs(log_dir, exist_ok=True)
-    p = subprocess.Popen(
-        [SPARK_CLASS, "org.apache.spark.deploy.master.Master",
-         "-h", MASTER_HOST, "-p", str(MASTER_PORT),
-         "--webui-port", str(MASTER_UI)],
-        env=_daemon_env(),
-        stdout=open(os.path.join(log_dir, "master.log"), "w"),
-        stderr=subprocess.STDOUT,
-    )
+    # the child inherits a dup'd fd, so the parent copy closes immediately
+    # (ADVICE r05 low: log handles were never closed)
+    with open(os.path.join(log_dir, "master.log"), "w") as log:
+        p = subprocess.Popen(
+            [SPARK_CLASS, "org.apache.spark.deploy.master.Master",
+             "-h", MASTER_HOST, "-p", str(MASTER_PORT),
+             "--webui-port", str(MASTER_UI)],
+            env=_daemon_env(),
+            stdout=log,
+            stderr=subprocess.STDOUT,
+        )
     for _ in range(120):
         if _port_open(MASTER_PORT):
             return p
         time.sleep(0.5)
+    stop_procs([p])
     raise RuntimeError("standalone master did not come up on :7077")
 
 
@@ -73,32 +77,43 @@ def start_workers(
     n: int, cores: int, mem: str, log_dir: str
 ) -> list[subprocess.Popen]:
     procs = []
-    for i in range(n):
-        procs.append(
-            subprocess.Popen(
-                [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
-                 MASTER_URL, "-c", str(cores), "-m", mem,
-                 "--webui-port", str(8200 + i),
-                 "--work-dir", f"/tmp/spark-worker-{i}"],
-                env=_daemon_env(),
-                stdout=open(os.path.join(log_dir, f"worker-{i}.log"), "w"),
-                stderr=subprocess.STDOUT,
-            )
-        )
-    deadline = time.time() + 90
-    while time.time() < deadline:
-        try:
-            with urllib.request.urlopen(
-                f"http://{MASTER_HOST}:{MASTER_UI}/json/", timeout=5
-            ) as r:
-                st = json.load(r)
-            alive = [w for w in st.get("workers", []) if w["state"] == "ALIVE"]
-            if len(alive) >= n:
-                return procs
-        except Exception:
-            pass
-        time.sleep(1)
-    raise RuntimeError(f"only some of {n} workers registered in 90s")
+    # registration failures must not orphan already-spawned worker JVMs
+    # (ADVICE r05 low: they held the worker ports/work dirs and
+    # contaminated subsequent levels); log handles close right away — the
+    # children keep their dup'd fds
+    try:
+        for i in range(n):
+            with open(os.path.join(log_dir, f"worker-{i}.log"), "w") as log:
+                procs.append(
+                    subprocess.Popen(
+                        [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+                         MASTER_URL, "-c", str(cores), "-m", mem,
+                         "--webui-port", str(8200 + i),
+                         "--work-dir", f"/tmp/spark-worker-{i}"],
+                        env=_daemon_env(),
+                        stdout=log,
+                        stderr=subprocess.STDOUT,
+                    )
+                )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://{MASTER_HOST}:{MASTER_UI}/json/", timeout=5
+                ) as r:
+                    st = json.load(r)
+                alive = [
+                    w for w in st.get("workers", []) if w["state"] == "ALIVE"
+                ]
+                if len(alive) >= n:
+                    return procs
+            except Exception:
+                pass
+            time.sleep(1)
+        raise RuntimeError(f"only some of {n} workers registered in 90s")
+    except BaseException:
+        stop_procs(procs)
+        raise
 
 
 def stop_procs(procs: list[subprocess.Popen]) -> None:
