@@ -30,18 +30,28 @@ from mfdedup_spark.config import SignatureConfig
 
 
 def explode_bands(signatures: DataFrame) -> DataFrame:
-    """signatures → (space, band, bucket, image_id), one row per band."""
-    mh = signatures.select(
-        F.lit("mh").alias("space"),
-        F.posexplode("mh_bands").alias("band", "bucket"),
+    """signatures → (space, band, bucket, image_id), one row per band.
+
+    r06: ONE pass — the two bands arrays are concatenated before a single
+    posexplode and the (space, band) pair is recovered from the position,
+    where the former mh/sh union scanned the persisted signature frame
+    twice (guide §2.4; the in-memory columnar cache decode of the array
+    columns was a measurable per-scan cost at bench scale)."""
+    n_mh = F.size("mh_bands")
+    return signatures.select(
+        F.posexplode(F.concat("mh_bands", "sh_bands")).alias("pos", "bucket"),
+        "image_id",
+        n_mh.alias("_n_mh"),
+    ).select(
+        F.when(F.col("pos") < F.col("_n_mh"), F.lit("mh"))
+        .otherwise(F.lit("sh"))
+        .alias("space"),
+        F.when(F.col("pos") < F.col("_n_mh"), F.col("pos"))
+        .otherwise(F.col("pos") - F.col("_n_mh"))
+        .alias("band"),
+        "bucket",
         "image_id",
     )
-    sh = signatures.select(
-        F.lit("sh").alias("space"),
-        F.posexplode("sh_bands").alias("band", "bucket"),
-        "image_id",
-    )
-    return mh.unionByName(sh)
 
 
 def anchor_star_pairs(
