@@ -82,20 +82,36 @@ def srp_bucket_sql(expr: str, n_planes: int = N_PLANES) -> str:
     return f"cast({terms} as bigint)"
 
 
-def cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(
+def vec_norm(c: Column) -> Column:
+    """sqrt(Σ x²) — the factor of `cosine` that depends on one side only.
+    r06: consumers project it once per ROW before their candidate join so
+    the per-PAIR work is one dot fold + a multiply instead of three
+    64-element folds; precomputing runs the identical IEEE operations in
+    the identical order, so cosines stay bit-exact vs the oracle."""
+    return F.sqrt(
         F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
-    return dot / (norm(a) * norm(b))
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine(a, b) with both norms supplied from per-row projections."""
+    return vec_dot(a, b) / (na * nb)
 
 
 def cosine_sql(ea: str, eb: str) -> str:
@@ -119,12 +135,14 @@ def ann_lsh_topk(emb_df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     bucket join replaces the full cross product; recall is tunable via
     N_PLANES / multi-probe."""
     with_b = emb_df.select(
-        "vec_id", "embedding", srp_bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", srp_bucket(F.col("embedding")).alias("bucket"),
+        vec_norm(F.col("embedding")).alias("en"),
     )
     q = with_b.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         "bucket",
+        F.col("en").alias("qn"),
     )
     cand = F.broadcast(q).join(with_b, "bucket").where(
         F.col("vec_id") != F.col("query_id")
@@ -132,7 +150,12 @@ def ann_lsh_topk(emb_df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -188,10 +211,12 @@ def ann_ivf_topk(emb_df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     """IVF ANN: probe only the query's coarse list (nprobe=1), brute-force
     cosine within it. The scale path's other half next to SRP-LSH."""
     with_l = emb_df.select(
-        "vec_id", "embedding", ivf_assign(F.col("embedding")).cast("int").alias("list_id")
+        "vec_id", "embedding", ivf_assign(F.col("embedding")).cast("int").alias("list_id"),
+        vec_norm(F.col("embedding")).alias("en"),
     )
     q = with_l.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "list_id"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        "list_id", F.col("en").alias("qn"),
     )
     cand = F.broadcast(q).join(with_l, "list_id").where(
         F.col("vec_id") != F.col("query_id")
@@ -199,7 +224,12 @@ def ann_ivf_topk(emb_df: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -252,15 +282,26 @@ def embedding_neardup_pairs_capped(
     pairs, stats = capped_pairs(
         buckets, cap, salt, key_cols=("bucket",), id_col="vec_id"
     )
-    ea = emb_df.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
-    eb = emb_df.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    ea = emb_df.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"),
+        vec_norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb_df.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"),
+        vec_norm(F.col("embedding")).alias("nb"),
+    )
     verified = (
         pairs.join(ea, "vec_id_a")
         .join(eb, "vec_id_b")
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+            F.round(
+                cosine_with_norms(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -295,13 +336,16 @@ def embedding_neardup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataF
     threshold — the embedding tier of the dedup suite (exact / MinHash /
     SimHash / n-gram / embedding)."""
     with_b = emb_df.select(
-        "vec_id", "embedding", srp_bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", srp_bucket(F.col("embedding")).alias("bucket"),
+        vec_norm(F.col("embedding")).alias("n"),
     )
     a = with_b.select(
-        "bucket", F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
+        "bucket", F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("ea"), F.col("n").alias("na"),
     )
     b = with_b.select(
-        "bucket", F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb")
+        "bucket", F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("eb"), F.col("n").alias("nb"),
     )
     return (
         a.join(b, "bucket")
@@ -309,7 +353,12 @@ def embedding_neardup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataF
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+            F.round(
+                cosine_with_norms(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -447,6 +496,7 @@ def ann_ivf_topk_trained(
         "vec_id",
         "embedding",
         _nearest_centroid(quantize(F.col("embedding")), centroids).alias("list_id"),
+        vec_norm(F.col("embedding")).alias("en"),
     )
     qv = quantize(F.col("embedding"))
     dist_structs = F.array(
@@ -462,11 +512,12 @@ def ann_ivf_topk_trained(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            vec_norm(F.col("embedding")).alias("qn"),
             F.explode(
                 F.slice(F.array_sort(dist_structs), 1, nprobe)
             ).alias("probe"),
         )
-        .select("query_id", "qe", F.col("probe.list_id").alias("list_id"))
+        .select("query_id", "qe", "qn", F.col("probe.list_id").alias("list_id"))
     )
     cand = F.broadcast(probes).join(with_l, "list_id").where(
         F.col("vec_id") != F.col("query_id")
@@ -474,7 +525,12 @@ def ann_ivf_topk_trained(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -586,7 +642,10 @@ def ann_ivf_topk_joined(
     (test_ann_ivf_joined_parity)."""
     cdf = _centroids_df(emb_df.sparkSession, centroids)
     with_l = ivf_lists_joined(emb_df, centroids).join(
-        emb_df.select("vec_id", "embedding"), "vec_id"
+        emb_df.select(
+            "vec_id", "embedding", vec_norm(F.col("embedding")).alias("en")
+        ),
+        "vec_id",
     )
     d = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
@@ -599,13 +658,14 @@ def ann_ivf_topk_joined(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            vec_norm(F.col("embedding")).alias("qn"),
             quantize(F.col("embedding")).alias("qv"),
         )
         .crossJoin(F.broadcast(cdf))
-        .select("query_id", "qe", "list_id", d.alias("d"))
+        .select("query_id", "qe", "qn", "list_id", d.alias("d"))
         .withColumn("pr", F.row_number().over(wq))
         .where(F.col("pr") <= nprobe)
-        .select("query_id", "qe", "list_id")
+        .select("query_id", "qe", "qn", "list_id")
     )
     cand = F.broadcast(probes).join(with_l, "list_id").where(
         F.col("vec_id") != F.col("query_id")
@@ -613,7 +673,12 @@ def ann_ivf_topk_joined(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -637,13 +702,15 @@ def ann_lsh_topk_multiprobe(
     plane-flip away. Probe buckets are distinct, so no candidate dedup
     shuffle is needed."""
     with_b = emb_df.select(
-        "vec_id", "embedding", srp_bucket(F.col("embedding"), n_planes).alias("bucket")
+        "vec_id", "embedding", srp_bucket(F.col("embedding"), n_planes).alias("bucket"),
+        vec_norm(F.col("embedding")).alias("en"),
     )
     probes = (
         with_b.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            F.col("en").alias("qn"),
             F.explode(
                 F.array(
                     F.col("bucket"),
@@ -661,7 +728,12 @@ def ann_lsh_topk_multiprobe(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qn"), F.col("en")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -378,21 +378,30 @@ def q_fixed_chunking_docs(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.where("vec_id < 10").select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    dot = F.aggregate(
-        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
     norm = lambda c: F.sqrt(
         F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda a, b: a + b,
         )
+    )
+    # r06 (guide §1.2 per-task work): each side's norm is projected ONCE
+    # per row before the cross join instead of being re-folded per PAIR —
+    # the probe stage drops from three 64-element folds per candidate to
+    # one fold plus a multiply. Identical IEEE operations in identical
+    # order, so the rounded cosine is bit-identical to the oracle.
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("en")
+    )
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("en").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
     )
     scored = (
         F.broadcast(q)
@@ -401,9 +410,7 @@ def q_ann_cosine_topk(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot / (norm(F.col("qe")) * norm(F.col("embedding"))), 6).alias(
-                "cosine"
-            ),
+            F.round(dot / (F.col("qn") * F.col("en")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
