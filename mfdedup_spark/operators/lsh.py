@@ -75,13 +75,28 @@ def capped_pairs(
     key_cols: list[str] = ("space", "band", "bucket"),
     id_col: str = "image_id",
     pin: list | None = None,
+    carry: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Generic salted, capped anchor-star pair generator.
 
     Returns (pairs, bucket_stats):
-    pairs({id_col}_a < {id_col}_b) distinct;
+    pairs({id_col}_a < {id_col}_b [, {c}_a, {c}_b per carry col]) distinct;
     bucket_stats(*key_cols, members, kept, dropped) for buckets that
     overflowed the cap (the mandated drop log).
+
+    ``carry`` (r06): small per-id payload columns to ride through the two
+    window stages and come out attached to BOTH pair sides ({c}_a via a
+    first() sharing the level-2 sort, {c}_b from the member row), so a
+    verifier needs no join-back — which would re-evaluate the whole
+    upstream signature subtree once per side. Only for columns
+    functionally dependent on the id and a few bytes wide (e.g. a 64-bit
+    simhash); heavyweight payloads (texts, embeddings) must keep using
+    join-backs so the pair shuffle stays id-sized (guide §2.3). Level-1
+    is untouched: carried columns pass through as plain projection
+    columns, so the WindowGroupLimit pushdown on the level-1 rank filter
+    is preserved (pinned by test_capped_pairs_window_group_limit); the
+    extra first() lands on level-2, which already runs a full window for
+    anchor attachment.
 
     PRECONDITION: (key_cols, id_col) rows are unique — every caller
     guarantees it by construction (one bucket per (id, band) from
@@ -129,12 +144,19 @@ def capped_pairs(
     ranked = lvl1.select(
         *keys,
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.row_number().over(w2).alias("rn"),
         F.first(id_col).over(w2row).alias(f"{id_col}_a"),
+        *[F.first(c).over(w2row).alias(f"{c}_a") for c in carry],
     )
     pairs = (
         ranked.where((F.col("rn") > 1) & (F.col("rn") <= cap))
-        .select(f"{id_col}_a", F.col(id_col).alias(f"{id_col}_b"))
+        .select(
+            f"{id_col}_a",
+            F.col(id_col).alias(f"{id_col}_b"),
+            *[F.col(f"{c}_a") for c in carry],
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+        )
         .distinct()
     )
 

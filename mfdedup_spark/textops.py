@@ -201,6 +201,7 @@ def doc_simhash_band_pairs_capped(
     sim = doc_simhash(docs)
     bands = sim.select(
         "doc_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -212,18 +213,21 @@ def doc_simhash_band_pairs_capped(
             )
         ).alias("band", "bucket"),
     )
+    # r06: the 8-byte simhash rides the capped generator (carry=) so
+    # verification needs no sa/sb join-backs — those re-evaluated the
+    # whole SimHash aggregation subtree once per side (three evaluations
+    # total including the band source)
     pairs, stats = capped_pairs(
-        bands, cap, salt, key_cols=("band", "bucket"), id_col="doc_id"
+        bands, cap, salt, key_cols=("band", "bucket"), id_col="doc_id",
+        carry=("simhash",),
     )
-    sa = sim.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sim_a"))
-    sb = sim.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sim_b"))
     verified = (
-        pairs.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .select(
+        pairs.select(
             "doc_id_a",
             "doc_id_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= hamming_max)
     )
